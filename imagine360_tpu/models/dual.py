@@ -1,0 +1,191 @@
+"""Dual-branch coupler: the perspective UNet (20 views folded into batch) and
+the panorama UNet walked in lockstep, with WarpAttn coupling after every
+encoder downsample, at the mid block, and before every decoder upsample
+(reference src/models/MVGenModel.py).
+
+Faithfully reproduced reference quirks:
+- motion modules are *skipped* in blocks without spatial attention during the
+  dual walk (reference MVGenModel.py:291-303,426-443), although the single
+  branch forward applies them (unet_blocks.py:569-587)
+- sigma-0.1 gaussian noise is added to the ip tokens every call
+  (reference MVGenModel.py:11-14,186-187), PRNG-keyed here
+- the relative-position/pitch adapter conditions only the pano branch
+  (reference MVGenModel.py:181,193-222)
+- pano circular padding wraps every conv (pad amounts per stage exactly as
+  MVGenModel.py:135-479)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import shard_views, shard_frames
+from .unet3d import UNet3DConfig, UNet3DConditionModel
+from .warp import WarpAttn
+
+# (site name, resolution key) in walk order; resolution key r{s} means the
+# feature map is at latent_size / s.
+WARP_SITES = (
+    ("enc_0", "r2"), ("enc_1", "r4"), ("enc_2", "r8"),
+    ("mid", "r8"),
+    ("dec_0", "r8"), ("dec_1", "r4"), ("dec_2", "r2"),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DualUNetConfig:
+    pers: UNet3DConfig = UNet3DConfig()
+    pano: UNet3DConfig = UNet3DConfig()
+    num_views: int = 20
+    pano_pad: bool = True
+    pano_only: bool = False
+    ip_noise_level: float = 0.1
+
+
+class DualUNet(nn.Module):
+    cfg: DualUNetConfig
+
+    def setup(self):
+        c = self.cfg
+        if not c.pano_only:
+            self.unet = UNet3DConditionModel(c.pers, name="unet")
+        self.pano_unet = UNet3DConditionModel(c.pano, name="pano_unet")
+        if not c.pano_only:
+            boc = c.pers.block_out_channels
+            # encoder: one WarpAttn per down block that has a downsampler
+            self.cp_blocks_encoder = [
+                WarpAttn(boc[i], c.num_views, dtype=c.pers.jdtype,
+                         name=f"cp_blocks_encoder_{i}")
+                for i in range(len(boc) - 1)]
+            self.cp_blocks_mid = WarpAttn(boc[-1], c.num_views,
+                                          dtype=c.pers.jdtype)
+            # decoder: one per up block that has an upsampler; channels are
+            # the upsampler input channels (reversed boc[:3])
+            rev = list(reversed(boc))
+            self.cp_blocks_decoder = [
+                WarpAttn(rev[i], c.num_views, dtype=c.pers.jdtype,
+                         name=f"cp_blocks_decoder_{i}")
+                for i in range(len(boc) - 1)]
+
+    def _maybe_noise(self, tokens, add_noise: bool):
+        if not add_noise or self.cfg.ip_noise_level <= 0:
+            return tokens
+        key = self.make_rng("ip_noise")
+        return tokens + self.cfg.ip_noise_level * jax.random.normal(
+            key, tokens.shape, tokens.dtype)
+
+    def __call__(self,
+                 pers_latents,            # [B, M, F, h, w, Cin] or None
+                 pano_latent,             # [B, F, eh, ew, Cin]
+                 timestep,                # [B]
+                 pers_text,               # [B*M, L, 1024]
+                 pano_text,               # [B, L, 1024]
+                 fps=None,                # [B] or None
+                 ref_feats_pers=None,     # [B*M, F, D, Csam]
+                 ref_feats_pano=None,     # [B, F, D, Csam]
+                 rel_pos=None,            # [B, n, 6]
+                 pitch=None,              # [B, n]
+                 warp_geoms=None,         # {"r2": {...}, "r4": {...},
+                                          #  "r8": {...}, "pe": {site: {...}}}
+                 use_opp=None,            # [7] bool (antipodal mask choice)
+                 add_ip_noise: bool = True):
+        c = self.cfg
+        pano_pad = c.pano_pad
+        dual = not c.pano_only and pers_latents is not None
+
+        B = pano_latent.shape[0]
+        if dual:
+            _, M, F, h, w, Cin = pers_latents.shape
+            pers = pers_latents.reshape(B * M, F, h, w, Cin)
+
+        # 1. time + fps embeddings (reference MVGenModel.py:103-133)
+        if dual:
+            t_pers = jnp.repeat(timestep, M, axis=0)
+            fps_pers = None if fps is None else jnp.repeat(fps, M, axis=0)
+            temb = self.unet.time_embed(t_pers, fps_pers)
+        pano_temb = self.pano_unet.time_embed(timestep, fps)
+
+        # 2. ip tokens + contexts (reference MVGenModel.py:150-246)
+        if c.pano.use_ip and ref_feats_pano is not None:
+            ip_pano = self.pano_unet.ip_tokens(ref_feats_pano, rel_pos, pitch)
+            ip_pano = self._maybe_noise(ip_pano, add_ip_noise)
+            pano_ctx = self.pano_unet.build_context(pano_text, ip_pano)
+        else:
+            pano_ctx = pano_text
+        if dual:
+            if c.pers.use_ip and ref_feats_pers is not None:
+                ip_pers = self.unet.ip_tokens(ref_feats_pers)
+                ip_pers = self._maybe_noise(ip_pers, add_ip_noise)
+                pers_ctx = self.unet.build_context(pers_text, ip_pers)
+            else:
+                pers_ctx = pers_text
+
+        def geom_for(site_idx):
+            name, rkey = WARP_SITES[site_idx]
+            g = dict(warp_geoms[rkey])
+            g.update(warp_geoms["pe"][name])
+            return g, use_opp[site_idx]
+
+        # 3. stems (sharding: perspective folds over the "view" mesh axis,
+        # pano shards its frame axis — see parallel/mesh.py)
+        if dual:
+            hp = self.unet.stem(shard_views(pers.astype(c.pers.jdtype)))
+        ha = self.pano_unet.stem(
+            shard_frames(pano_latent.astype(c.pano.jdtype)), pad=pano_pad)
+
+        # 4. down (reference MVGenModel.py:256-327)
+        if dual:
+            skips_p = [hp]
+        skips_a = [ha]
+        for i, blk_a in enumerate(self.pano_unet.down_blocks):
+            has_attn = blk_a.heads is not None
+            if dual:
+                hp, sp = self.unet.down_blocks[i](
+                    hp, temb, pers_ctx, apply_motion=has_attn)
+                skips_p.extend(sp)
+            ha, sa = blk_a(ha, pano_temb, pano_ctx, pad=pano_pad,
+                           apply_motion=has_attn)
+            skips_a.extend(sa)
+            if dual:
+                hp = shard_views(hp)
+            ha = shard_frames(ha)
+            if blk_a.add_downsample and dual:
+                g, opp = geom_for(i)
+                hp, ha = self.cp_blocks_encoder[i](hp, ha, g, opp)
+                hp = shard_views(hp)
+                ha = shard_frames(ha)
+
+        # 5. mid (reference MVGenModel.py:336-380)
+        if dual:
+            hp = self.unet.mid_block(hp, temb, pers_ctx)
+        ha = self.pano_unet.mid_block(ha, pano_temb, pano_ctx, pad=pano_pad)
+        if dual:
+            g, opp = geom_for(3)
+            hp, ha = self.cp_blocks_mid(hp, ha, g, opp)
+
+        # 6. up (reference MVGenModel.py:394-458)
+        for i, blk_a in enumerate(self.pano_unet.up_blocks):
+            has_attn = blk_a.heads is not None
+            if dual:
+                hp = self.unet.up_blocks[i](hp, skips_p, temb, pers_ctx,
+                                            apply_motion=has_attn)
+            ha = blk_a(ha, skips_a, pano_temb, pano_ctx, pad=pano_pad,
+                       apply_motion=has_attn)
+            if blk_a.add_upsample:
+                if dual:
+                    g, opp = geom_for(4 + i)
+                    hp, ha = self.cp_blocks_decoder[i](hp, ha, g, opp)
+                    hp = self.unet.up_blocks[i].upsample(shard_views(hp))
+                ha = blk_a.upsample(shard_frames(ha), pad=pano_pad)
+
+        # 7. heads (reference MVGenModel.py:462-479)
+        pers_out = None
+        if dual:
+            pers_out = self.unet.head(hp)
+            pers_out = pers_out.reshape(B, M, F, h, w, -1)
+        pano_out = self.pano_unet.head(ha, pad=pano_pad)
+        return pers_out, pano_out

@@ -1,0 +1,224 @@
+"""Core Flax building blocks shared by every model in the framework.
+
+Layout conventions (TPU-first, channels-last):
+- video features: [B, F, H, W, C]  (frames fold into the batch axis for all
+  per-frame spatial ops; the reference's `b c f h w` torch layout exists only
+  at the converter boundary)
+- token sequences: [B, S, C]
+- embeddings: [B, C]
+
+Parameter names mirror the reference torch module names (to_q, to_k, net_0,
+linear_1, ...) so the torch->jax checkpoint converter is a mechanical path
+map + transpose (see utils/convert.py).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int,
+                       flip_sin_to_cos: bool = True,
+                       downscale_freq_shift: float = 0.0,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, matching diffusers get_timestep_embedding
+    (reference diffusers/models/embeddings.py:26-67). timesteps [N] -> [N, dim].
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (reference embeddings.py:190-236)."""
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+class InflatedConv(nn.Module):
+    """2D conv applied per frame to [B, F, H, W, C] video tensors
+    (reference animatediff/models/resnet.py:19-27 InflatedConv3d).
+
+    Padding is explicit torch-style symmetric zero padding.
+    """
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        video = x.ndim == 5
+        if video:
+            B, F, H, W, C = x.shape
+            x = x.reshape(B * F, H, W, C)
+        k = self.kernel
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        if video:
+            y = y.reshape(B, F, y.shape[1], y.shape[2], y.shape[3])
+        return y
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over [B, F, H, W, C]. inflated=True normalizes each frame
+    independently (reference InflatedGroupNorm, resnet.py:9-17); otherwise
+    statistics span frames too (plain torch GroupNorm on b c f h w)."""
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    inflated: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        video = x.ndim == 5
+        norm = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
+                            dtype=self.dtype, name="norm")
+        if video and self.inflated:
+            B, F, H, W, C = x.shape
+            return norm(x.reshape(B * F, H, W, C)).reshape(x.shape)
+        if video and not self.inflated:
+            # stats over (F, H, W, group); flax reduces all non-batch axes
+            return norm(x)
+        return norm(x)
+
+
+class Attention(nn.Module):
+    """Multi-head (cross-)attention matching diffusers' Attention semantics
+    (no qkv bias, output projection with bias). Accepts an additive bias
+    broadcastable to [B, H, Sq, Sk]."""
+    query_dim: int
+    heads: int
+    dim_head: int
+    out_bias: bool = True
+    out_zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, bias=None):
+        if context is None:
+            context = x
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        B, Sq = q.shape[0], q.shape[1]
+        Sk = k.shape[1]
+        q = q.reshape(B, Sq, self.heads, self.dim_head)
+        k = k.reshape(B, Sk, self.heads, self.dim_head)
+        v = v.reshape(B, Sk, self.heads, self.dim_head)
+        out = dot_product_attention(q, k, v, bias=bias)
+        out = out.reshape(B, Sq, inner)
+        init = nn.initializers.zeros if self.out_zero_init \
+            else nn.initializers.lecun_normal()
+        return nn.Dense(self.query_dim, use_bias=self.out_bias,
+                        kernel_init=init, dtype=self.dtype,
+                        name="to_out_0")(out)
+
+
+class IPCrossAttention(nn.Module):
+    """Text cross-attention + decoupled image-prompt K/V path
+    (reference animatediff/models/attention.py:23-156 IPCrossAttention):
+    out = attn(q, text) + scale * attn(q, ip) through a shared to_out."""
+    query_dim: int
+    heads: int
+    dim_head: int
+    scale: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text_context, ip_context):
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(text_context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(text_context)
+        k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ip_context)
+        v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ip_context)
+
+        B, Sq = q.shape[0], q.shape[1]
+        qh = q.reshape(B, Sq, self.heads, self.dim_head)
+
+        def attend(kk, vv):
+            S = kk.shape[1]
+            return dot_product_attention(
+                qh,
+                kk.reshape(B, S, self.heads, self.dim_head),
+                vv.reshape(B, S, self.heads, self.dim_head),
+            ).reshape(B, Sq, inner)
+
+        out = attend(k, v) + self.scale * attend(k_ip, v_ip)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (diffusers FeedForward, activation_fn='geglu'):
+    net_0.proj: Dense(dim -> 2*inner); out = x*gelu(gate); net_2: Dense(->dim).
+    """
+    dim: int
+    mult: int = 4
+    out_zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = int(self.dim * self.mult)
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        init = nn.initializers.zeros if self.out_zero_init \
+            else nn.initializers.lecun_normal()
+        return nn.Dense(self.dim, kernel_init=init, dtype=self.dtype,
+                        name="net_2")(h)
+
+
+class LayerNorm(nn.LayerNorm):
+    """LayerNorm with torch's default epsilon (1e-5; flax defaults 1e-6)."""
+    epsilon: float = 1e-5
+
+
+def sinusoidal_position_table(max_len: int, d_model: int) -> jnp.ndarray:
+    """The AnimateDiff temporal PositionalEncoding table
+    (reference motion_module.py:262-280): pe[0, pos, 0::2]=sin, 1::2=cos."""
+    position = jnp.arange(max_len, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=jnp.float32)
+                       * (-math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe

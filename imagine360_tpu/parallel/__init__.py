@@ -1,0 +1,2 @@
+from .mesh import (make_mesh, activate_mesh, current_mesh,
+                   shard_views, shard_frames, replicate)

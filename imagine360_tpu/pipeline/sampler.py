@@ -1,0 +1,141 @@
+"""The dual-branch DDIM sampler: 50 denoise steps compiled to one
+jax.lax.scan under jit (replacing the reference's python loop with per-step
+host sync — reference pipeline_animation_inference_dual.py:734-809).
+
+Design:
+- CFG is the leading batch axis (2), exactly like the reference
+- per-step stochastic elements (antipodal mask choice p=0.4, ip-token noise)
+  are PRNG-keyed inside the scan
+- latent buffers are donated; everything stays on device until decode
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.ddim import make_ddim_schedule, ddim_step
+from ..geometry.corr_masks import warp_geometry
+from ..models.dual import DualUNet, DualUNetConfig, WARP_SITES
+
+
+def build_dual_warp_geoms(cfg: DualUNetConfig, cameras,
+                          pers_latent_hw, equi_latent_hw,
+                          bias_dtype=np.float32):
+    """All WarpAttn constants for one latent resolution: per-resolution bias
+    masks (shared across sites) + per-site spherical PEs."""
+    boc = cfg.pers.block_out_channels
+    site_dims = {"enc_0": boc[0], "enc_1": boc[1], "enc_2": boc[2],
+                 "mid": boc[-1], "dec_0": boc[-1], "dec_1": boc[-2],
+                 "dec_2": boc[-3]}
+    scales = {"r2": 2, "r4": 4, "r8": 8}
+    ph, pw = pers_latent_hw
+    eh, ew = equi_latent_hw
+    geoms = {"pe": {}}
+    for rkey, s in scales.items():
+        g = warp_geometry(cameras, (ph // s, pw // s), (eh // s, ew // s),
+                          dim=4)  # dim irrelevant for biases
+        geoms[rkey] = {k: v.astype(bias_dtype)
+                       for k, v in g.items() if "bias" in k}
+    for name, rkey in WARP_SITES:
+        s = scales[rkey]
+        g = warp_geometry(cameras, (ph // s, pw // s), (eh // s, ew // s),
+                          dim=site_dims[name])
+        geoms["pe"][name] = {"pers_pe": g["pers_pe"],
+                             "equi_pe": g["equi_pe"]}
+    return geoms
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    num_steps: int = 50
+    guidance_scale: float = 7.5
+    antipodal_prob: float = 0.4   # reference src/utils/utils.py:15-21
+    add_ip_noise: bool = True
+    latent_dtype: str = "float32"
+    prediction_type: str = "v_prediction"
+
+
+class DualDiffusionSampler:
+    """Functional sampler around a DualUNet. All arrays live on device; the
+    step loop is one compiled scan."""
+
+    def __init__(self, model: DualUNet, cfg: SamplerConfig = SamplerConfig()):
+        self.model = model
+        self.cfg = cfg
+        self.schedule = make_ddim_schedule(
+            num_inference_steps=cfg.num_steps,
+            prediction_type=cfg.prediction_type)
+
+    def denoise(self, params, rng,
+                pano_latent, pers_latent,          # [B,F,eh,ew,4] / [B,M,F,h,w,4]
+                pano_mask, pano_masked,            # [B,F,eh,ew,1] / [B,F,eh,ew,4]
+                pers_mask, pers_masked,            # [B,M,F,h,w,1] / [B,M,F,h,w,4]
+                pano_text, pers_text,              # [2,L,D] / [2M,L,D] (CFG pairs)
+                warp_geoms,
+                fps=None,                          # [2] or None
+                ref_feats_pano=None,               # [2,F,D,C]
+                ref_feats_pers=None,               # [2M,F,D,C]
+                rel_pos=None, pitch=None):         # [2,n,6] / [2,n]
+        """Runs the full CFG denoise loop. Latent batch B must be 1 (the
+        CFG duplication to 2 happens inside, reference pipeline:750-751)."""
+        cfg = self.cfg
+        coeffs = self.schedule.step_coeffs()
+        xs = {
+            "t": jnp.asarray(coeffs["timestep"], jnp.float32),
+            "a_t": jnp.asarray(coeffs["alpha_prod_t"]),
+            "a_prev": jnp.asarray(coeffs["alpha_prod_t_prev"]),
+            "key": jax.random.split(rng, cfg.num_steps),
+        }
+        g = cfg.guidance_scale
+        dual = pers_latent is not None
+        n_sites = len(WARP_SITES)
+
+        def step(carry, x):
+            pano_lat, pers_lat = carry
+            key = x["key"]
+            k_opp, k_ip = jax.random.split(key)
+            use_opp = jax.random.bernoulli(k_opp, cfg.antipodal_prob,
+                                           (n_sites,))
+
+            pano_in = jnp.concatenate([pano_lat, pano_mask, pano_masked],
+                                      axis=-1)
+            pano_in = jnp.concatenate([pano_in] * 2, axis=0)  # CFG
+            pers_in = None
+            if dual:
+                pers_in = jnp.concatenate([pers_lat, pers_mask, pers_masked],
+                                          axis=-1)
+                pers_in = jnp.concatenate([pers_in] * 2, axis=0)
+            t_vec = jnp.full((pano_in.shape[0],), x["t"])
+
+            pers_pred, pano_pred = self.model.apply(
+                params, pers_in, pano_in, t_vec, pers_text, pano_text,
+                fps, ref_feats_pers, ref_feats_pano, rel_pos, pitch,
+                warp_geoms, use_opp, add_ip_noise=cfg.add_ip_noise,
+                rngs={"ip_noise": k_ip})
+
+            # CFG combine (reference pipeline:789-795)
+            pano_u, pano_c = jnp.split(pano_pred, 2, axis=0)
+            pano_out = pano_u + g * (pano_c - pano_u)
+            pano_lat = ddim_step(pano_out, pano_lat, x["a_t"], x["a_prev"],
+                                 self.schedule.prediction_type)
+            if dual:
+                pers_u, pers_c = jnp.split(pers_pred, 2, axis=0)
+                pers_out = pers_u + g * (pers_c - pers_u)
+                pers_lat = ddim_step(pers_out, pers_lat, x["a_t"],
+                                     x["a_prev"],
+                                     self.schedule.prediction_type)
+            return (pano_lat, pers_lat), None
+
+        (pano_lat, pers_lat), _ = jax.lax.scan(step,
+                                               (pano_latent, pers_latent), xs)
+        return pano_lat, pers_lat
+
+    def jit_denoise(self, donate=True):
+        """jit-compiled denoise with latent donation."""
+        fn = functools.partial(self.denoise)
+        return jax.jit(fn, donate_argnums=(2, 3) if donate else ())

@@ -1,9 +1,21 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+"""Test configuration: force CPU with 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware.
+
+NOTE: this machine's sitecustomize registers a remote-tunneled TPU ("axon")
+platform and pins JAX_PLATFORMS=axon; running the test suite over the tunnel
+makes every eager dispatch a network round trip. Hard-override to CPU here,
+both via env (before first backend init) and via jax.config (in case the
+plugin prepended itself)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -75,6 +75,18 @@ def _stub_xformers():
     sys.modules["xformers"] = xformers
     sys.modules["xformers.ops"] = ops
 
+    # importlib.metadata.version("xformers") must succeed for diffusers'
+    # is_xformers_available() version check
+    import importlib.metadata as _md
+    _orig_version = _md.version
+
+    def _version(name, *a, **kw):
+        if name == "xformers":
+            return "0.0.20"
+        return _orig_version(name, *a, **kw)
+
+    _md.version = _version
+
 
 def _stub_kornia():
     """kornia pieces the reference uses: create_meshgrid, gaussian_blur2d,
