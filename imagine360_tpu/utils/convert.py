@@ -188,6 +188,34 @@ def merge_lora(state: Dict[str, object], lora_state: Mapping[str, object],
     return out
 
 
+def convert_vae_state_dict(state: Mapping[str, object]) -> Dict[str, np.ndarray]:
+    """AutoencoderKL torch state_dict -> our flax VAE params (flat).
+
+    Handles both attention naming eras: the old query/key/value/proj_attn
+    (vendored diffusers 0.11, reference diffusers/models/attention.py:510)
+    and the modern to_q/to_k/to_v/to_out.0."""
+    flat = convert_state_dict(state)
+    out = {}
+    for k, v in flat.items():
+        # plain flax GroupNorms in the VAE (no wrapper level)
+        k = k.replace("norm1.norm.", "norm1.").replace("norm2.norm.", "norm2.")
+        k = k.replace("conv_norm_out.norm.", "conv_norm_out.")
+        # flatten block lists into our single-level names
+        k = k.replace("mid_block.resnets_", "mid_block_resnets_")
+        k = k.replace("mid_block.attentions_", "mid_block_attentions_")
+        k = re.sub(r"down_blocks_(\d+)\.resnets_", r"down_blocks_\1_resnets_", k)
+        k = re.sub(r"down_blocks_(\d+)\.downsamplers_0\.conv",
+                   r"down_blocks_\1_downsamplers_0_conv", k)
+        k = re.sub(r"up_blocks_(\d+)\.resnets_", r"up_blocks_\1_resnets_", k)
+        k = re.sub(r"up_blocks_(\d+)\.upsamplers_0\.conv",
+                   r"up_blocks_\1_upsamplers_0_conv", k)
+        # legacy attention names
+        k = k.replace(".query.", ".to_q.").replace(".key.", ".to_k.")
+        k = k.replace(".value.", ".to_v.").replace(".proj_attn.", ".to_out_0.")
+        out[k] = v
+    return out
+
+
 def apply_converted(params_tree: dict, flat_converted: Mapping[str, np.ndarray],
                     strict: bool = False):
     """Copy converted arrays into an init'd flax params tree (shape-checked).
