@@ -27,13 +27,20 @@ from ..parallel.mesh import shard_views, shard_frames
 from .unet3d import UNet3DConfig, UNet3DConditionModel
 from .warp import WarpAttn
 
-# (site name, resolution key) in walk order; resolution key r{s} means the
-# feature map is at latent_size / s.
-WARP_SITES = (
-    ("enc_0", "r2"), ("enc_1", "r4"), ("enc_2", "r8"),
-    ("mid", "r8"),
-    ("dec_0", "r8"), ("dec_1", "r4"), ("dec_2", "r2"),
-)
+def warp_sites(n_blocks: int = 4):
+    """(site name, resolution key) in walk order for an n-block UNet;
+    resolution key r{s} = feature map at latent_size / s. One WarpAttn after
+    each encoder downsample, one at mid, one before each decoder upsample
+    (reference MVGenModel.py:24-37)."""
+    sites = [(f"enc_{i}", f"r{2 ** (i + 1)}") for i in range(n_blocks - 1)]
+    sites.append(("mid", f"r{2 ** (n_blocks - 1)}"))
+    sites += [(f"dec_{i}", f"r{2 ** (n_blocks - 1 - i)}")
+              for i in range(n_blocks - 1)]
+    return tuple(sites)
+
+
+# default 4-block layout (SD2.1 backbone)
+WARP_SITES = warp_sites(4)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +103,8 @@ class DualUNet(nn.Module):
         c = self.cfg
         pano_pad = c.pano_pad
         dual = not c.pano_only and pers_latents is not None
+        sites = warp_sites(len(c.pers.block_out_channels))
+        n_enc = len(c.pers.block_out_channels) - 1
 
         B = pano_latent.shape[0]
         if dual:
@@ -125,7 +134,7 @@ class DualUNet(nn.Module):
                 pers_ctx = pers_text
 
         def geom_for(site_idx):
-            name, rkey = WARP_SITES[site_idx]
+            name, rkey = sites[site_idx]
             g = dict(warp_geoms[rkey])
             g.update(warp_geoms["pe"][name])
             return g, use_opp[site_idx]
@@ -164,7 +173,7 @@ class DualUNet(nn.Module):
             hp = self.unet.mid_block(hp, temb, pers_ctx)
         ha = self.pano_unet.mid_block(ha, pano_temb, pano_ctx, pad=pano_pad)
         if dual:
-            g, opp = geom_for(3)
+            g, opp = geom_for(n_enc)
             hp, ha = self.cp_blocks_mid(hp, ha, g, opp)
 
         # 6. up (reference MVGenModel.py:394-458)
@@ -177,7 +186,7 @@ class DualUNet(nn.Module):
                        apply_motion=has_attn)
             if blk_a.add_upsample:
                 if dual:
-                    g, opp = geom_for(4 + i)
+                    g, opp = geom_for(n_enc + 1 + i)
                     hp, ha = self.cp_blocks_decoder[i](hp, ha, g, opp)
                     hp = self.unet.up_blocks[i].upsample(shard_views(hp))
                 ha = blk_a.upsample(shard_frames(ha), pad=pano_pad)

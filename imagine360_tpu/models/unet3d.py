@@ -321,10 +321,12 @@ class UNet3DConditionModel(nn.Module):
             pt = self.add_cond_embedding2(pt.astype(c.jdtype))  # [B*n, 256]
             cond = jnp.concatenate([rp, pt], axis=-1).reshape(B_, n, -1)
             # pad to num_ip_tokens by repeating the last frame's embedding
-            # (reference MVGenModel.py:218-221)
-            reps = c.num_ip_tokens - n
-            pad = jnp.repeat(cond[:, -1:], reps, axis=1)
-            tokens = tokens + jnp.concatenate([cond, pad], axis=1)
+            # (reference MVGenModel.py:218-221); truncate when n > tokens
+            if n >= c.num_ip_tokens:
+                tokens = tokens + cond[:, :c.num_ip_tokens]
+            else:
+                pad = jnp.repeat(cond[:, -1:], c.num_ip_tokens - n, axis=1)
+                tokens = tokens + jnp.concatenate([cond, pad], axis=1)
         return tokens
 
     def build_context(self, text_embeds, ip_tokens):

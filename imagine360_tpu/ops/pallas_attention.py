@@ -1,0 +1,148 @@
+"""Pallas TPU flash attention with *broadcast* additive bias.
+
+Why not jax's bundled pallas flash attention: its `ab` bias operand must be
+materialized at [B, H, Sq, Sk]. The WarpAttn correspondence masks are shared
+across batch(frames) and heads — at the stage-1 resolution a materialized
+bias would be ~13 GB, while the shared mask is 42 MB. This kernel indexes a
+[1|B, 1|H, Sq, Sk] bias with broadcast semantics, so the mask is read once
+per (q-block, k-block) regardless of batch/head count.
+
+Algorithm: standard streaming-softmax flash attention (online max/sum
+rescaling), accumulating across k-blocks in VMEM scratch with the k-block as
+the innermost (sequential) grid dimension.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale, nk):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)           # [bq, d]
+    k = k_ref[0, 0].astype(jnp.float32)           # [bk, d]
+    s = jax.lax.dot_general(q * scale, k,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bk]
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+
+    m_prev = m_scr[:, :1]                          # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+    p = jnp.exp(s - m_new)                         # [bq, bk]
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)
+    pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+def _pad_to(x, axis, mult, value=0.0):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_bhsd(q, k, v, bias, scale, block_q=256, block_k=512, interpret=False):
+    """q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [1|B, 1|H, Sq, Sk] or None."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
+    bq = min(bq, block_q)
+    bk = min(block_k, max(128, 1 << (Sk - 1).bit_length()))
+    bk = min(bk, block_k)
+
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    Sqp, Skp = qp.shape[2], vp.shape[2]
+    nq, nk = Sqp // bq, Skp // bk
+
+    need_kmask = Skp != Sk
+    if bias is None and need_kmask:
+        bias = jnp.zeros((1, 1, Sq, Sk), jnp.float32)
+    if bias is not None:
+        bias = _pad_to(_pad_to(bias.astype(jnp.float32), 3, bk, NEG_INF),
+                       2, bq)
+        bb, hb = bias.shape[0], bias.shape[1]
+
+    grid = (B, H, nq, nk)
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0)),
+    ]
+    args = [qp, kp, vp]
+    if bias is not None:
+        def bias_index(b, h, iq, ik):
+            return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
+        in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
+        args.append(bias)
+        kernel = functools.partial(_flash_kernel, scale=scale, nk=nk)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, m, l, a, **kw:
+            _flash_kernel(qr, kr, vr, None, o, m, l, a, **kw),
+            scale=scale, nk=nk)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :Sq]
+
+
+def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
+    """q [B, Sq, H, D], k/v [B, Sk, H, D], bias broadcastable to
+    [B, H, Sq, Sk] (kept unbroadcast in memory). Returns [B, Sq, H, D]."""
+    B, Sq, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _flash_bhsd(qt, kt, vt, bias, float(scale), interpret=interpret)
+    return out.transpose(0, 2, 1, 3)

@@ -1,0 +1,226 @@
+"""End-to-end perspective-to-360 video generation pipeline.
+
+The TPU-native equivalent of the reference AnimationPipeline.__call__ + the
+per-video preprocessing in inference_dual_p2e.py:500-603:
+
+host (numpy):  video read -> pitch fit -> P2E warp -> anchor/maxrect ->
+               20-view E2P -> SAM preprocessing
+device (jit):  CLIP text encode, SAM encode, VAE encodes, shared-noise init,
+               50-step dual denoise scan, circular-pad VAE decode
+
+Everything device-side is batched (no per-frame python loops on the hot
+path) and runs under one mesh context when multi-chip.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RunConfig
+from ..geometry import CameraRig, e2p, pad_pano, unpad_pano
+from ..models.dual import DualUNet, DualUNetConfig, WARP_SITES
+from ..models.vae import AutoencoderKL, VAEConfig
+from ..models.clip_text import CLIPTextModel, CLIPTextConfig
+from ..models.sam import SAMImageEncoder, SAMConfig, sam_preprocess
+from ..pipeline.sampler import (SamplerConfig, DualDiffusionSampler,
+                                build_dual_warp_geoms)
+from ..pipeline.conditioning import (init_shared_noise,
+                                     prepare_masked_latents,
+                                     downsample_mask_nearest)
+from ..pipeline.elevation import PitchEstimator, pers_video_to_pano
+from ..pipeline.anchor import get_anchor_target
+from ..utils.video_io import to_model_range, from_model_range, resize_frames
+from ..utils.observability import StageTimer, get_logger
+
+log = get_logger("pipeline")
+
+
+@dataclasses.dataclass
+class PipelineModules:
+    """All model objects + their params. Params may be zero/random in dev
+    mode; use utils/checkpoints.py loaders for real weights."""
+    dual: DualUNet
+    dual_params: dict
+    vae: AutoencoderKL
+    vae_params: dict
+    text_encoder: Optional[CLIPTextModel] = None
+    text_params: Optional[dict] = None
+    sam: Optional[SAMImageEncoder] = None
+    sam_params: Optional[dict] = None
+    tokenizer: Optional[object] = None  # callable(str) -> [77] int ids
+
+
+class Imagine360Pipeline:
+    def __init__(self, modules: PipelineModules, run_cfg: RunConfig,
+                 dual_cfg: DualUNetConfig):
+        self.m = modules
+        self.cfg = run_cfg
+        self.dual_cfg = dual_cfg
+        self.sampler = DualDiffusionSampler(
+            modules.dual,
+            SamplerConfig(num_steps=run_cfg.num_inference_steps,
+                          guidance_scale=run_cfg.guidance_scale,
+                          antipodal_prob=run_cfg.antipodal_prob))
+        self.pers_size = run_cfg.pano_H // 2
+        self.rig = CameraRig.icosahedron(image_size=self.pers_size)
+        self.geoms = build_dual_warp_geoms(
+            dual_cfg, self.rig,
+            (self.pers_size // 8, self.pers_size // 8),
+            (run_cfg.pano_H // 8, run_cfg.pano_W // 8))
+        self.pitch = PitchEstimator(mode=run_cfg.angle_adapt)
+        self._denoise = self.sampler.jit_denoise()
+
+    # ---- text ------------------------------------------------------------
+
+    def encode_prompt(self, prompt: str, negative: str, views: int):
+        """-> (pano_text [2, 77, D], pers_text [2*M, 77, D]), CFG order
+        [uncond; cond] (reference _encode_prompt, pipeline:210-297)."""
+        D = self.dual_cfg.pano.cross_attention_dim
+        if self.m.text_encoder is None or self.m.tokenizer is None:
+            emb = jnp.zeros((2, 77, D), jnp.float32)
+        else:
+            ids = jnp.asarray(np.stack([self.m.tokenizer(negative),
+                                        self.m.tokenizer(prompt)]))
+            emb = self.m.text_encoder.apply(self.m.text_params, ids)
+        pano_text = emb
+        pers_text = jnp.repeat(emb, views, axis=0)  # per-view copies
+        # [neg*M ; pos*M] ordering to match the CFG batch layout
+        pers_text = jnp.concatenate([
+            jnp.repeat(emb[:1], views, axis=0),
+            jnp.repeat(emb[1:], views, axis=0)], axis=0)
+        return pano_text, pers_text
+
+    # ---- image prompt (SAM video features) --------------------------------
+
+    def encode_sam(self, frames_minus1_1: np.ndarray):
+        """[F, h, w, 3] in [-1,1] -> [F, 4096, 256] features (+uncond zeros)
+        (reference pipeline:675-718)."""
+        if self.m.sam is None:
+            F = frames_minus1_1.shape[0]
+            csam = self.dual_cfg.pano.image_hidden_size
+            tokens = 4096 if csam == 256 else 16
+            return jnp.zeros((F, tokens, csam), jnp.float32)
+        u8 = ((frames_minus1_1 + 1) * 127.5).astype(np.uint8)
+        # long side to 1024 then pad
+        import cv2
+        h, w = u8.shape[1:3]
+        scale = 1024.0 / max(h, w)
+        resized = np.stack([cv2.resize(f, (int(w * scale + 0.5),
+                                           int(h * scale + 0.5)))
+                            for f in u8])
+        x = sam_preprocess(resized)
+        feats = self.m.sam.apply(self.m.sam_params, jnp.asarray(x))
+        F = feats.shape[0]
+        return feats.reshape(F, -1, feats.shape[-1])
+
+    # ---- main -------------------------------------------------------------
+
+    def __call__(self, frames_u8: np.ndarray, prompt: str = "",
+                 negative_prompt: Optional[str] = None,
+                 rng: Optional[jax.Array] = None,
+                 raw_pitches=None):
+        """frames_u8 [F, h, w, 3] uint8 perspective video ->
+        dict(videos [F, H, W, 3] float [0,1], pano_input, masks)."""
+        cfg = self.cfg
+        if negative_prompt is None:
+            negative_prompt = cfg.negative_prompt
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.global_seed)
+        timer = StageTimer(log)
+        F = frames_u8.shape[0]
+        M = self.dual_cfg.num_views
+        H, W = cfg.pano_H, cfg.pano_W
+        ps = self.pers_size
+
+        # 1. host preprocessing
+        with timer("pitch+warp"):
+            frames = to_model_range(frames_u8)
+            pitches = self.pitch(frames_u8, raw_pitches)
+            pano_frames, pano_masks = pers_video_to_pano(
+                frames, pitches, (H, W))
+        with timer("anchor"):
+            anchor = get_anchor_target(pano_frames, pitches)
+        with timer("e2p views"):
+            # ERP frames -> 20 perspective views (pixels + masks), batched
+            # on device (reference process_equi, inference_dual_p2e.py:113)
+            pano_j = jnp.asarray(pano_frames).transpose(0, 3, 1, 2)  # F,3,H,W
+            views = jax.vmap(lambda img: e2p(img, self.rig, (ps, ps)))(pano_j)
+            views = np.asarray(views)            # [F, M, 3, ps, ps]
+            mask_j = jnp.asarray(pano_masks).transpose(0, 3, 1, 2)
+            vmasks = jax.vmap(lambda img: e2p(img, self.rig, (ps, ps)))(mask_j)
+            vmasks = (np.asarray(vmasks) > 0.5).astype(np.float32)
+
+        # 2. conditioning encoders
+        with timer("text"):
+            pano_text, pers_text = self.encode_prompt(prompt, negative_prompt,
+                                                      M)
+        with timer("sam"):
+            feats = self.encode_sam(anchor["anchor"])        # [F, 4096, 256]
+            feats_pers = self.encode_sam(anchor["anchor_pers"])
+            zeros = jnp.zeros_like(feats)
+            # CFG: [uncond(zeros in reference? no — reference duplicates the
+            # SAME embeds for both CFG halves, pipeline:695,717)]
+            ref_pano = jnp.stack([feats, feats], axis=0)
+            ref_pers = jnp.concatenate(
+                [jnp.repeat(feats_pers[None], M, axis=0),
+                 jnp.repeat(feats_pers[None], M, axis=0)], axis=0)
+            del zeros
+
+        # 3. VAE-encode masked pixels
+        with timer("vae encode"):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            pano_masked_px = pano_frames * (pano_masks < 0.5)
+            pano_masked_lat = prepare_masked_latents(
+                self.m.vae, self.m.vae_params,
+                jnp.asarray(pano_masked_px), k1)          # [F, H/8, W/8, 4]
+            views_bfhwc = np.transpose(views, (0, 1, 3, 4, 2))
+            vmasks_bfhwc = np.transpose(vmasks, (0, 1, 3, 4, 2))
+            pers_masked_px = views_bfhwc * (vmasks_bfhwc < 0.5)
+            pers_masked_lat = prepare_masked_latents(
+                self.m.vae, self.m.vae_params,
+                jnp.asarray(pers_masked_px.reshape(F * M, ps, ps, 3)), k2)
+            pers_masked_lat = pers_masked_lat.reshape(F, M, ps // 8, ps // 8, 4)
+
+            pano_mask_lat = downsample_mask_nearest(jnp.asarray(pano_masks))
+            pers_mask_lat = downsample_mask_nearest(jnp.asarray(vmasks_bfhwc))
+
+        # 4. shared-noise init + denoise scan
+        with timer("denoise"):
+            rng, kn, kd = jax.random.split(rng, 3)
+            pano_lat0, pers_lat0 = init_shared_noise(
+                kn, 1, F, (H // 8, W // 8), (ps // 8, ps // 8), self.rig)
+            rel = jnp.asarray(anchor["relative_position"])[None]
+            rel = jnp.concatenate([rel, rel], axis=0)
+            pit = jnp.asarray(anchor["pitch"])[None]
+            pit = jnp.concatenate([pit, pit], axis=0)
+            fps = jnp.full((2,), float(cfg.fps))
+
+            pano_lat, pers_lat = self._denoise(
+                self.m.dual_params, kd,
+                pano_lat0, pers_lat0,
+                pano_mask_lat[None], pano_masked_lat[None],
+                pers_mask_lat.transpose(1, 0, 2, 3, 4)[None],
+                pers_masked_lat.transpose(1, 0, 2, 3, 4)[None],
+                pano_text, pers_text, self.geoms,
+                fps, ref_pano, ref_pers, rel, pit)
+
+        # 5. circular-pad decode (reference pipeline:813-815)
+        with timer("vae decode"):
+            lat = pano_lat[0] / 0.18215                      # [F, h, w, 4]
+            lat = jnp.concatenate([lat[..., -4:, :], lat, lat[..., :4, :]],
+                                  axis=-2)
+            dec = self.m.vae.apply(self.m.vae_params, lat,
+                                   method=self.m.vae.decode)
+            dec = dec[..., 32:-32, :]
+            video = from_model_range(np.asarray(dec, np.float32))
+
+        return {
+            "videos": video,
+            "pano_input": from_model_range(pano_frames),
+            "masks": pano_masks,
+            "pitches": pitches,
+        }

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..diffusion.ddim import make_ddim_schedule, ddim_step
 from ..geometry.corr_masks import warp_geometry
-from ..models.dual import DualUNet, DualUNetConfig, WARP_SITES
+from ..models.dual import DualUNet, DualUNetConfig, WARP_SITES, warp_sites
 
 
 def build_dual_warp_geoms(cfg: DualUNetConfig, cameras,
@@ -29,10 +29,13 @@ def build_dual_warp_geoms(cfg: DualUNetConfig, cameras,
     """All WarpAttn constants for one latent resolution: per-resolution bias
     masks (shared across sites) + per-site spherical PEs."""
     boc = cfg.pers.block_out_channels
-    site_dims = {"enc_0": boc[0], "enc_1": boc[1], "enc_2": boc[2],
-                 "mid": boc[-1], "dec_0": boc[-1], "dec_1": boc[-2],
-                 "dec_2": boc[-3]}
-    scales = {"r2": 2, "r4": 4, "r8": 8}
+    n = len(boc)
+    sites = warp_sites(n)
+    rev = list(reversed(boc))
+    site_dims = {f"enc_{i}": boc[i] for i in range(n - 1)}
+    site_dims["mid"] = boc[-1]
+    site_dims.update({f"dec_{i}": rev[i] for i in range(n - 1)})
+    scales = {f"r{2 ** (i + 1)}": 2 ** (i + 1) for i in range(n - 1)}
     ph, pw = pers_latent_hw
     eh, ew = equi_latent_hw
     geoms = {"pe": {}}
@@ -41,7 +44,7 @@ def build_dual_warp_geoms(cfg: DualUNetConfig, cameras,
                           dim=4)  # dim irrelevant for biases
         geoms[rkey] = {k: v.astype(bias_dtype)
                        for k, v in g.items() if "bias" in k}
-    for name, rkey in WARP_SITES:
+    for name, rkey in sites:
         s = scales[rkey]
         g = warp_geometry(cameras, (ph // s, pw // s), (eh // s, ew // s),
                           dim=site_dims[name])
@@ -93,7 +96,8 @@ class DualDiffusionSampler:
         }
         g = cfg.guidance_scale
         dual = pers_latent is not None
-        n_sites = len(WARP_SITES)
+        n_sites = len(warp_sites(
+            len(self.model.cfg.pers.block_out_channels)))
 
         def step(carry, x):
             pano_lat, pers_lat = carry

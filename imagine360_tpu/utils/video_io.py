@@ -1,0 +1,83 @@
+"""Host-side video IO (imageio/ffmpeg; the reference used decord for reads
+and imageio for writes — inference_dual_p2e.py:502-513,
+animatediff/utils/util.py:55-72). Not TPU work by design."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def read_video(path: str, num_frames: Optional[int] = None) -> np.ndarray:
+    """Read a video, uniformly subsampling to num_frames
+    (reference temporal downsample, inference_dual_p2e.py:504-510).
+    Returns [F, H, W, 3] uint8."""
+    import imageio.v3 as iio
+
+    frames = iio.imread(path, plugin="pyav") if path.endswith(
+        (".mp4", ".mov", ".webm")) else iio.imread(path)
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[None]
+    if num_frames is not None and frames.shape[0] != num_frames:
+        total = frames.shape[0]
+        if total >= num_frames:
+            idx = np.linspace(0, total - 1, num_frames).round().astype(int)
+        else:
+            idx = np.arange(num_frames) % total
+        frames = frames[idx]
+    return frames[..., :3]
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 8):
+    """frames [F, H, W, 3] float in [0, 1] or uint8 -> mp4
+    (reference save_videos_grid, animatediff/utils/util.py:55-72)."""
+    import imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    try:
+        imageio.mimsave(path, list(frames), fps=fps)
+    except Exception:
+        # fall back to individual PNG frames when no video codec exists
+        base = os.path.splitext(path)[0]
+        os.makedirs(base, exist_ok=True)
+        for i, f in enumerate(frames):
+            imageio.imwrite(os.path.join(base, f"{i:04d}.png"), f)
+
+
+def to_model_range(frames_u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1, 1]."""
+    return frames_u8.astype(np.float32) / 127.5 - 1.0
+
+
+def from_model_range(frames: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> [0, 1] float."""
+    return np.clip(frames / 2 + 0.5, 0.0, 1.0)
+
+
+def resize_frames(frames: np.ndarray, hw) -> np.ndarray:
+    import cv2
+
+    return np.stack([cv2.resize(f, (hw[1], hw[0]),
+                                interpolation=cv2.INTER_LINEAR)
+                     for f in frames])
+
+
+def feathered_replace(generated: np.ndarray, source: np.ndarray,
+                      mask: np.ndarray, sigma: float = 8.0) -> np.ndarray:
+    """Composite the known (input) region back over the generated pano with
+    a gaussian-feathered seam (reference replace_video,
+    animatediff/utils/util.py:75-111). All [F, H, W, C] in [0, 1];
+    mask 1 = generated region."""
+    import cv2
+
+    out = []
+    for f in range(generated.shape[0]):
+        m = mask[f, ..., 0].astype(np.float32)
+        soft = cv2.GaussianBlur(m, (0, 0), sigma)
+        soft = np.clip(soft, 0, 1)[..., None]
+        out.append(generated[f] * soft + source[f] * (1 - soft))
+    return np.stack(out)
