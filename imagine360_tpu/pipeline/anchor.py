@@ -74,19 +74,28 @@ def _remap_np(img, gx, gy, wrap=True):
     return v
 
 
+def _remap_host(img, gx, gy, wrap=True):
+    """Route through the native C++ kernel when built (native/remap.cc),
+    numpy otherwise."""
+    from .. import native
+    if native.available() and img.ndim == 3:
+        return native.remap_bilinear(img, gx, gy, wrap_x=wrap)
+    return _remap_np(img, gx, gy, wrap=wrap)
+
+
 def erp_to_pers_frame(erp: np.ndarray, fov, theta, phi, out_hw):
     """Host-side ERP -> perspective crop (reference GetPerspective path,
     bilinear + wrap)."""
     gx, gy = pers_pix_to_equi_grid(erp.shape[0], erp.shape[1], fov, theta,
                                    phi, out_hw[0], out_hw[1])
-    return _remap_np(erp, gx, gy, wrap=True)
+    return _remap_host(erp, gx, gy, wrap=True)
 
 
 def pers_to_erp_frame(pers: np.ndarray, fov, theta, phi, out_hw):
     """Host-side perspective -> ERP + coverage mask (reference GetEquirec)."""
     gx, gy, mask = equi_pix_to_pers_grid(pers.shape[0], pers.shape[1], fov,
                                          theta, phi, out_hw[0], out_hw[1])
-    out = _remap_np(pers, gx, gy, wrap=True) * mask[..., None]
+    out = _remap_host(pers, gx, gy, wrap=True) * mask[..., None]
     return out, mask
 
 
