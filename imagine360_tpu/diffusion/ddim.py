@@ -146,6 +146,18 @@ def ddim_step(model_output: jnp.ndarray,
     return prev.astype(dtype)
 
 
+def ddim_inverse_step(model_output: jnp.ndarray,
+                      sample: jnp.ndarray,
+                      alpha_prod_t: jnp.ndarray,
+                      alpha_prod_t_next: jnp.ndarray,
+                      prediction_type: str = "v_prediction") -> jnp.ndarray:
+    """Deterministic DDIM inversion x_t -> x_{t+1} (the reference ships
+    unused inversion helpers at animatediff/utils/util.py:166-222; provided
+    here as a first-class editing/debug tool)."""
+    return ddim_step(model_output, sample, alpha_prod_t, alpha_prod_t_next,
+                     prediction_type=prediction_type)
+
+
 def add_noise(sample: jnp.ndarray, noise: jnp.ndarray,
               alphas_cumprod: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
     """Forward-process noising (for training / masked-latent conditioning)."""
