@@ -45,16 +45,52 @@ def _on_tpu() -> bool:
         return False
 
 
+def _chunked_reference_attention(q, k, v, bias=None, scale=None,
+                                 chunk=2048):
+    """Sequentially chunk the batch axis so the [B, H, Sq, Sk] logits never
+    materialize at once — for huge-batch/short-sequence sites (the motion
+    module folds 40 views x 1024 pixels into the batch)."""
+    B = q.shape[0]
+    n = -(-B // chunk)
+    pad = n * chunk - B
+    def padb(x):
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+    qs = padb(q).reshape(n, chunk, *q.shape[1:])
+    ks = padb(k).reshape(n, chunk, *k.shape[1:])
+    vs = padb(v).reshape(n, chunk, *v.shape[1:])
+    if bias is not None and bias.shape[0] == B:
+        bs = padb(bias).reshape(n, chunk, *bias.shape[1:])
+        out = jax.lax.map(
+            lambda args: _reference_attention(*args[:3], bias=args[3],
+                                              scale=scale),
+            (qs, ks, vs, bs))
+    else:
+        out = jax.lax.map(
+            lambda args: _reference_attention(*args, bias=bias, scale=scale),
+            (qs, ks, vs))
+    out = out.reshape(n * chunk, *out.shape[2:])
+    return out[:B]
+
+
+# don't materialize f32 logits beyond this under any backend
+_LOGITS_BYTES_LIMIT = 128 * 1024 * 1024
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
                           scale: float | None = None) -> jnp.ndarray:
     """Multi-head attention; returns [B, Sq, H, D] in q.dtype."""
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, (q.shape, k.shape)
-    use_pallas = _on_tpu() and q.shape[1] >= 256 and k.shape[1] >= 256
-    if use_pallas:
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if _on_tpu() and Sq >= 256 and Sk >= 128:
         try:
             from .pallas_attention import flash_attention
             return flash_attention(q, k, v, bias=bias, scale=scale)
         except Exception:
             pass  # fall back to the XLA path (e.g. odd shapes)
+    if B * H * Sq * Sk * 4 > _LOGITS_BYTES_LIMIT:
+        chunk = max(1, _LOGITS_BYTES_LIMIT // max(1, H * Sq * Sk * 4))
+        return _chunked_reference_attention(q, k, v, bias=bias, scale=scale,
+                                            chunk=chunk)
     return _reference_attention(q, k, v, bias=bias, scale=scale)
