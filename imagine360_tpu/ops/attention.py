@@ -50,25 +50,36 @@ def _chunked_reference_attention(q, k, v, bias=None, scale=None,
     """Sequentially chunk the batch axis so the [B, H, Sq, Sk] logits never
     materialize at once — for huge-batch/short-sequence sites (the motion
     module folds 40 views x 1024 pixels into the batch)."""
-    B = q.shape[0]
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
     n = -(-B // chunk)
     pad = n * chunk - B
-    def padb(x):
-        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
-    qs = padb(q).reshape(n, chunk, *q.shape[1:])
-    ks = padb(k).reshape(n, chunk, *k.shape[1:])
-    vs = padb(v).reshape(n, chunk, *v.shape[1:])
+
+    def prep(x):
+        # flatten (H, D) so the scanned buffers have a wide trailing dim
+        # (avoids massive tile-padding of tiny [.., H, D] trailing dims)
+        x = x.reshape(x.shape[0], x.shape[1], H * D)
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        return x.reshape(n, chunk, x.shape[1], H * D)
+
+    qs, ks, vs = prep(q), prep(k), prep(v)
+
+    def body(args):
+        qc, kc, vc = (a.reshape(chunk, -1, H, D) for a in args[:3])
+        b = args[3] if len(args) > 3 else bias
+        return _reference_attention(qc, kc, vc, bias=b, scale=scale
+                                    ).reshape(chunk, Sq, H * D)
+
     if bias is not None and bias.shape[0] == B:
-        bs = padb(bias).reshape(n, chunk, *bias.shape[1:])
-        out = jax.lax.map(
-            lambda args: _reference_attention(*args[:3], bias=args[3],
-                                              scale=scale),
-            (qs, ks, vs, bs))
+        bs = bias
+        if pad:
+            bs = jnp.pad(bs, ((0, pad),) + ((0, 0),) * (bias.ndim - 1))
+        bs = bs.reshape(n, chunk, *bias.shape[1:])
+        out = jax.lax.map(body, (qs, ks, vs, bs))
     else:
-        out = jax.lax.map(
-            lambda args: _reference_attention(*args, bias=bias, scale=scale),
-            (qs, ks, vs))
-    out = out.reshape(n * chunk, *out.shape[2:])
+        out = jax.lax.map(body, (qs, ks, vs))
+    out = out.reshape(n * chunk, Sq, H, D)
     return out[:B]
 
 
@@ -89,8 +100,11 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             return flash_attention(q, k, v, bias=bias, scale=scale)
         except Exception:
             pass  # fall back to the XLA path (e.g. odd shapes)
-    if B * H * Sq * Sk * 4 > _LOGITS_BYTES_LIMIT:
-        chunk = max(1, _LOGITS_BYTES_LIMIT // max(1, H * Sq * Sk * 4))
+    # account for TPU tile padding of the trailing [Sq, Sk] logits dims
+    sq_pad = -(-Sq // 8) * 8
+    sk_pad = -(-Sk // 128) * 128
+    if B * H * sq_pad * sk_pad * 4 > _LOGITS_BYTES_LIMIT:
+        chunk = max(1, _LOGITS_BYTES_LIMIT // max(1, H * sq_pad * sk_pad * 4))
         return _chunked_reference_attention(q, k, v, bias=bias, scale=scale,
                                             chunk=chunk)
     return _reference_attention(q, k, v, bias=bias, scale=scale)

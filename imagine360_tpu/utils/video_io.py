@@ -66,6 +66,24 @@ def resize_frames(frames: np.ndarray, hw) -> np.ndarray:
                      for f in frames])
 
 
+def draw_mask_boundary(frames: np.ndarray, mask: np.ndarray,
+                       color=(1.0, 0.0, 0.0), thickness: int = 2) -> np.ndarray:
+    """Overlay the outpaint-mask boundary on frames for debugging
+    (reference get_boundingbox, animatediff/utils/util.py:114-163).
+    frames [F, H, W, 3] in [0,1]; mask [F, H, W, 1]."""
+    import cv2
+
+    out = frames.copy()
+    for f in range(frames.shape[0]):
+        m = (mask[f, ..., 0] > 0.5).astype(np.uint8)
+        contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        img = np.ascontiguousarray(out[f])
+        cv2.drawContours(img, contours, -1, color, thickness)
+        out[f] = img
+    return out
+
+
 def feathered_replace(generated: np.ndarray, source: np.ndarray,
                       mask: np.ndarray, sigma: float = 8.0) -> np.ndarray:
     """Composite the known (input) region back over the generated pano with

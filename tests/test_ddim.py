@@ -66,14 +66,9 @@ def test_golden_vs_reference_scheduler():
     """Bit-compare schedule + step against the vendored diffusers scheduler
     the reference pipeline uses (run on CPU torch)."""
     torch = pytest.importorskip("torch")
-    os.environ["_CHECK_PEFT"] = "0"  # vendored diffusers' dep table lacks peft
-    sys.path.insert(0, "/root/reference")
-    try:
-        from diffusers.schedulers.scheduling_ddim import DDIMScheduler
-    except Exception as e:  # pragma: no cover
-        pytest.skip(f"cannot import vendored scheduler: {e}")
-    finally:
-        sys.path.remove("/root/reference")
+    import refshim
+    refshim.install()
+    from diffusers.schedulers.scheduling_ddim import DDIMScheduler
 
     ref = DDIMScheduler(num_train_timesteps=1000, beta_start=0.00085,
                         beta_end=0.012, beta_schedule="linear",
