@@ -1,10 +1,12 @@
 """Benchmark: seconds per 16-frame 512x1024 panorama clip on one TPU chip.
 
-Measures the real compiled hot path: one full dual-branch denoise step
-(CFG 2 x [20 perspective views + panorama], 16 frames, bf16, production
-architecture) and the VAE decode, then extrapolates the reference sampling
-recipe (50 DDIM steps, reference inference_dual_p2e.py:324 + per-frame VAE
-decode, pipeline_animation_inference_dual.py:306-308).
+Times the *actual compiled sampler loop* (DualDiffusionSampler.denoise — a
+lax.scan of full CFG dual-branch denoise steps, production architecture,
+bf16) plus the VAE decode/encode stages, then reports the reference sampling
+recipe cost (50 DDIM steps — reference inference_dual_p2e.py:324).
+
+Timing runs a K-step scan inside ONE device computation so host/tunnel
+latency cannot distort per-step numbers.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
@@ -12,79 +14,118 @@ vs_baseline is measured against the 60 s north-star target from
 BASELINE.json (the reference publishes no numbers of its own).
 """
 import json
-import sys
 import time
 
 import numpy as np
+
+
+def _time(fn, *args, iters=2):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)   # compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.time() - t0) / iters
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship, _zeros_params
+    from __graft_entry__ import _zeros_params
+    from imagine360_tpu.presets import full_dual_config
+    from imagine360_tpu.models.dual import DualUNet
+    from imagine360_tpu.geometry import CameraRig
+    from imagine360_tpu.pipeline.sampler import (DualDiffusionSampler,
+                                                 SamplerConfig,
+                                                 build_dual_warp_geoms)
 
     frames = 16
-    num_steps = 50
+    total_steps = 50
+    bench_steps = 4
+    M = 20
+    jd = jnp.bfloat16
 
-    model, args = _flagship(frames=frames)
-    params = _zeros_params(model, args, "bfloat16")
+    cfg = full_dual_config("bfloat16")
+    model = DualUNet(cfg)
+    rig = CameraRig.icosahedron(image_size=256)
+    geoms = build_dual_warp_geoms(cfg, rig, (32, 32), (64, 128))
+    sampler = DualDiffusionSampler(
+        model, SamplerConfig(num_steps=bench_steps, add_ip_noise=True))
 
-    def fn(params, *args):
-        return model.apply(params, *args, add_ip_noise=False)
+    pano_lat = jnp.zeros((1, frames, 64, 128, 4), jd)
+    pers_lat = jnp.zeros((1, M, frames, 32, 32, 4), jd)
+    pano_mask = jnp.zeros((1, frames, 64, 128, 1), jd)
+    pano_masked = jnp.zeros((1, frames, 64, 128, 4), jd)
+    pers_mask = jnp.zeros((1, M, frames, 32, 32, 1), jd)
+    pers_masked = jnp.zeros((1, M, frames, 32, 32, 4), jd)
+    pano_text = jnp.zeros((2, 77, 1024), jd)
+    pers_text = jnp.zeros((2 * M, 77, 1024), jd)
+    fps = jnp.full((2,), 8.0, jnp.float32)
+    ref_pano = jnp.zeros((2, 16, 4096, 256), jd)
+    ref_pers = jnp.zeros((2 * M, 16, 4096, 256), jd)
+    rel = jnp.zeros((2, frames, 6), jnp.float32)
+    pitch = jnp.zeros((2, frames), jnp.float32)
 
-    step = jax.jit(fn)
-    # warmup/compile
+    # init params once (zeros, bf16 — identical FLOP/memory profile)
+    init_args = (
+        jnp.concatenate([pers_lat, pers_mask, pers_masked], -1)
+        .repeat(2, 0), jnp.concatenate([pano_lat, pano_mask, pano_masked],
+                                       -1).repeat(2, 0),
+        jnp.full((2,), 500.0), pers_text, pano_text, fps, ref_pers,
+        ref_pano, rel, pitch, geoms, jnp.zeros((7,), bool))
+    params = _zeros_params(model, init_args, "bfloat16")
+
+    denoise = jax.jit(sampler.denoise)
     t0 = time.time()
-    out = step(params, *args)
+    out = denoise(params, jax.random.PRNGKey(0), pano_lat, pers_lat,
+                  pano_mask, pano_masked, pers_mask, pers_masked,
+                  pano_text, pers_text, geoms, fps, ref_pano, ref_pers,
+                  rel, pitch)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
-    n = 3
     t0 = time.time()
-    for _ in range(n):
-        out = step(params, *args)
+    out = denoise(params, jax.random.PRNGKey(1), pano_lat, pers_lat,
+                  pano_mask, pano_masked, pers_mask, pers_masked,
+                  pano_text, pers_text, geoms, fps, ref_pano, ref_pers,
+                  rel, pitch)
     jax.block_until_ready(out)
-    step_s = (time.time() - t0) / n
+    loop_s = time.time() - t0
+    step_s = loop_s / bench_steps
 
-    # VAE decode: 16 frames of 64x(128+8 wrap pad) latents -> 512x1088
+    # VAE decode of the full clip (circularly padded width) + cond encodes
     from imagine360_tpu.models.vae import AutoencoderKL, VAEConfig
     vae = AutoencoderKL(VAEConfig(dtype="bfloat16"))
-    z = jnp.zeros((1, 64, 136, 4), jnp.bfloat16)
-    vparams = _zeros_params(vae, (jnp.zeros((1, 512, 1088, 3), jnp.bfloat16),
-                                  jax.random.PRNGKey(0)), "bfloat16",
-                            rngs={"params": jax.random.PRNGKey(0)})
+    vparams = _zeros_params(
+        vae, (jnp.zeros((1, 64, 64, 3), jd), jax.random.PRNGKey(0)),
+        "bfloat16", rngs={"params": jax.random.PRNGKey(0)})
+    z = jnp.zeros((frames, 64, 136, 4), jd)
     dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
-    jax.block_until_ready(dec(vparams, z))
-    t0 = time.time()
-    for _ in range(2):
-        o = dec(vparams, z)
-    jax.block_until_ready(o)
-    decode_s = (time.time() - t0) / 2 * frames
+    decode_s = _time(dec, vparams, z, iters=1)
 
-    # VAE encodes for conditioning: 16 pano frames (512x1024) + 320
-    # perspective frames (256x256) ~= equivalent of ~36 pano frames
-    enc_in = jnp.zeros((1, 512, 1024, 3), jnp.bfloat16)
+    enc_in = jnp.zeros((frames, 512, 1024, 3), jd)
     enc = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
-    jax.block_until_ready(enc(vparams, enc_in))
-    t0 = time.time()
-    o = enc(vparams, enc_in)
-    jax.block_until_ready(o)
-    encode_s = (time.time() - t0) * (frames + frames * 20 / 8.0)
+    pano_encode_s = _time(enc, vparams, enc_in, iters=1)
+    enc_pers_in = jnp.zeros((frames * M, 256, 256, 3), jd)
+    encp = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
+    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=1)
 
-    clip_s = num_steps * step_s + decode_s + encode_s
+    clip_s = total_steps * step_s + decode_s + pano_encode_s + pers_encode_s
     target = 60.0
     result = {
         "metric": "sec per 16-frame 512x1024 pano clip (1 chip)",
-        "value": round(clip_s, 3),
+        "value": round(float(clip_s), 3),
         "unit": "s",
-        "vs_baseline": round(target / clip_s, 3),
+        "vs_baseline": round(float(target / clip_s), 3),
         "detail": {
-            "denoise_step_s": round(step_s, 4),
-            "steps_per_sec_chip": round(1.0 / step_s, 3),
-            "vae_decode_s": round(decode_s, 3),
-            "vae_encode_s": round(encode_s, 3),
-            "compile_s": round(compile_s, 1),
+            "denoise_step_s": round(float(step_s), 4),
+            "steps_per_sec_chip": round(float(1.0 / step_s), 3),
+            "vae_decode_s": round(float(decode_s), 3),
+            "vae_encode_s": round(float(pano_encode_s + pers_encode_s), 3),
+            "compile_s": round(float(compile_s), 1),
             "device": str(jax.devices()[0]),
         },
     }

@@ -177,12 +177,17 @@ class DualUNet(nn.Module):
             hp, ha = self.cp_blocks_mid(hp, ha, g, opp)
 
         # 6. up (reference MVGenModel.py:394-458)
+        n_sk = c.pano.layers_per_block + 1
         for i, blk_a in enumerate(self.pano_unet.up_blocks):
             has_attn = blk_a.heads is not None
             if dual:
-                hp = self.unet.up_blocks[i](hp, skips_p, temb, pers_ctx,
+                sk_p = tuple(skips_p[-n_sk:])
+                del skips_p[-n_sk:]
+                hp = self.unet.up_blocks[i](hp, sk_p, temb, pers_ctx,
                                             apply_motion=has_attn)
-            ha = blk_a(ha, skips_a, pano_temb, pano_ctx, pad=pano_pad,
+            sk_a = tuple(skips_a[-n_sk:])
+            del skips_a[-n_sk:]
+            ha = blk_a(ha, sk_a, pano_temb, pano_ctx, pad=pano_pad,
                        apply_motion=has_attn)
             if blk_a.add_upsample:
                 if dual:

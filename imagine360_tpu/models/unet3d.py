@@ -69,6 +69,10 @@ class UNet3DConfig:
     use_fps_condition: bool = True
     use_relative_positions: bool = True   # 'WithAdapter'
     use_inflated_groupnorm: bool = True
+    # rematerialize block activations in the backward pass (the TPU
+    # equivalent of the reference's fairscale checkpoint_wrapper / torch
+    # checkpoint on up blocks, MVGenModel.py:44-54,409-456)
+    remat: bool = False
     # Resampler (reference unet.py:186-196: adapter_cross_attention_dim 1024,
     # depth 4, heads 12, dim_head 64)
     resampler_dim: int = 1024
@@ -203,10 +207,13 @@ class UpBlock3D(nn.Module):
 
     def __call__(self, h, skips, temb, context, pad: bool = False,
                  apply_motion: bool = True):
-        """Consumes len(resnets) skips from the end of `skips` (a list)."""
+        """`skips` is a tuple of len(resnets) skip tensors, consumed from the
+        end (reference CrossAttnUpBlock3D pops res_hidden_states_tuple)."""
         c = self.cfg
-        for j in range(c.layers_per_block + 1):
-            skip = skips.pop()
+        n = c.layers_per_block + 1
+        assert len(skips) == n, (len(skips), n)
+        for j in range(n):
+            skip = skips[n - 1 - j]
             h = jnp.concatenate([h, skip], axis=-1)
             if pad:
                 h = wunpad(self.resnets[j](wpad(h, 2), temb), 2)
@@ -261,16 +268,23 @@ class UNet3DConditionModel(nn.Module):
                 output_dim=c.image_cross_attention_dim,
                 num_queries=c.num_ip_tokens, dtype=c.jdtype)
 
+        DownCls, MidCls, UpCls = DownBlock3D, MidBlock3D, UpBlock3D
+        if c.remat:
+            DownCls = nn.remat(DownBlock3D, static_argnums=(4, 5))
+            MidCls = nn.remat(MidBlock3D, static_argnums=(4,))
+            UpCls = nn.remat(UpBlock3D, static_argnums=(5, 6))
+
         downs = []
         for i in range(len(boc)):
             is_final = i == len(boc) - 1
             heads = None if is_final else c.attention_heads[i]
-            downs.append(DownBlock3D(c, boc[i], heads,
-                                     add_downsample=not is_final,
-                                     name=f"down_blocks_{i}"))
+            downs.append(DownCls(c, boc[i], heads,
+                                 add_downsample=not is_final,
+                                 name=f"down_blocks_{i}"))
         self.down_blocks = downs
 
-        self.mid_block = MidBlock3D(c, boc[-1], c.attention_heads[-1])
+        self.mid_block = MidCls(c, boc[-1], c.attention_heads[-1],
+                                name="mid_block")
 
         ups = []
         rev = list(reversed(boc))
@@ -278,9 +292,9 @@ class UNet3DConditionModel(nn.Module):
         for i in range(len(boc)):
             is_final = i == len(boc) - 1
             heads = None if i == 0 else rev_heads[i]
-            ups.append(UpBlock3D(c, rev[i], heads,
-                                 add_upsample=not is_final,
-                                 name=f"up_blocks_{i}"))
+            ups.append(UpCls(c, rev[i], heads,
+                             add_upsample=not is_final,
+                             name=f"up_blocks_{i}"))
         self.up_blocks = ups
 
         self.conv_norm_out = GroupNorm(32, c.norm_eps,
@@ -368,8 +382,11 @@ class UNet3DConditionModel(nn.Module):
             h, s = blk(h, temb, context, pad)
             skips.extend(s)
         h = self.mid_block(h, temb, context, pad)
+        n = c.layers_per_block + 1
         for blk in self.up_blocks:
-            h = blk(h, skips, temb, context, pad)
+            sk = tuple(skips[-n:])
+            del skips[-n:]
+            h = blk(h, sk, temb, context, pad)
             h = blk.upsample(h, pad)
         return self.head(h, pad)
 

@@ -208,13 +208,23 @@ class Imagine360Pipeline:
                 pano_text, pers_text, self.geoms,
                 fps, ref_pano, ref_pers, rel, pit)
 
-        # 5. circular-pad decode (reference pipeline:813-815)
+        # 5. circular-pad decode (reference pipeline:813-815), frame-chunked
+        # to bound activation memory at full resolution
         with timer("vae decode"):
             lat = pano_lat[0] / 0.18215                      # [F, h, w, 4]
             lat = jnp.concatenate([lat[..., -4:, :], lat, lat[..., :4, :]],
                                   axis=-2)
-            dec = self.m.vae.apply(self.m.vae_params, lat,
-                                   method=self.m.vae.decode)
+            chunk = 4
+            if F % chunk == 0 and F > chunk:
+                lat_c = lat.reshape(F // chunk, chunk, *lat.shape[1:])
+                dec = jax.lax.map(
+                    lambda z: self.m.vae.apply(self.m.vae_params, z,
+                                               method=self.m.vae.decode),
+                    lat_c)
+                dec = dec.reshape(F, *dec.shape[2:])
+            else:
+                dec = self.m.vae.apply(self.m.vae_params, lat,
+                                       method=self.m.vae.decode)
             dec = dec[..., 32:-32, :]
             video = from_model_range(np.asarray(dec, np.float32))
 
