@@ -51,6 +51,8 @@ class DualUNetConfig:
     pano_pad: bool = True
     pano_only: bool = False
     ip_noise_level: float = 0.1
+    # debug/bench: skip the WarpAttn coupling (perf bisection only)
+    disable_warp: bool = False
 
 
 class DualUNet(nn.Module):
@@ -162,7 +164,7 @@ class DualUNet(nn.Module):
             if dual:
                 hp = shard_views(hp)
             ha = shard_frames(ha)
-            if blk_a.add_downsample and dual:
+            if blk_a.add_downsample and dual and not c.disable_warp:
                 g, opp = geom_for(i)
                 hp, ha = self.cp_blocks_encoder[i](hp, ha, g, opp)
                 hp = shard_views(hp)
@@ -172,7 +174,7 @@ class DualUNet(nn.Module):
         if dual:
             hp = self.unet.mid_block(hp, temb, pers_ctx)
         ha = self.pano_unet.mid_block(ha, pano_temb, pano_ctx, pad=pano_pad)
-        if dual:
+        if dual and not c.disable_warp:
             g, opp = geom_for(n_enc)
             hp, ha = self.cp_blocks_mid(hp, ha, g, opp)
 
@@ -190,9 +192,10 @@ class DualUNet(nn.Module):
             ha = blk_a(ha, sk_a, pano_temb, pano_ctx, pad=pano_pad,
                        apply_motion=has_attn)
             if blk_a.add_upsample:
-                if dual:
+                if dual and not c.disable_warp:
                     g, opp = geom_for(n_enc + 1 + i)
                     hp, ha = self.cp_blocks_decoder[i](hp, ha, g, opp)
+                if dual:
                     hp = self.unet.up_blocks[i].upsample(shard_views(hp))
                 ha = blk_a.upsample(shard_frames(ha), pad=pano_pad)
 

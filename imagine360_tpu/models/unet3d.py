@@ -270,9 +270,9 @@ class UNet3DConditionModel(nn.Module):
 
         DownCls, MidCls, UpCls = DownBlock3D, MidBlock3D, UpBlock3D
         if c.remat:
-            DownCls = nn.remat(DownBlock3D, static_argnums=(4, 5))
-            MidCls = nn.remat(MidBlock3D, static_argnums=(4,))
-            UpCls = nn.remat(UpBlock3D, static_argnums=(5, 6))
+            DownCls = nn.remat(DownBlock3D, static_argnums=(3, 4))
+            MidCls = nn.remat(MidBlock3D, static_argnums=(3,))
+            UpCls = nn.remat(UpBlock3D, static_argnums=(4, 5))
 
         downs = []
         for i in range(len(boc)):
