@@ -71,7 +71,7 @@ class RunConfig:
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs = {}
         for k, v in raw.items():
-            if k == "noise_scheduler_kwargs":
+            if k in ("noise_scheduler_kwargs", "scheduler"):
                 kwargs["scheduler"] = SchedulerSettings(**{
                     kk: vv for kk, vv in v.items()
                     if kk in {f.name for f in
