@@ -24,8 +24,9 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
-                  m_scr, l_scr, acc_scr, *, scale, nk):
-    ik = pl.program_id(3)
+                  m_scr, l_scr, acc_scr, *, scale, nk, bk,
+                  bias_resident=False):
+    ik = pl.program_id(3)  # k-block: innermost grid dim
 
     @pl.when(ik == 0)
     def _init():
@@ -39,7 +40,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
                             (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # [bq, bk]
     if bias_ref is not None:
-        s = s + bias_ref[0, 0].astype(jnp.float32)
+        if bias_resident:
+            # the q-block's full [bq, Sk] bias row is resident in VMEM and
+            # the SAME block is revisited across the (batch, head, k) grid
+            # dims, so Mosaic fetches it once per q-block instead of once
+            # per (batch, head, k-block)
+            off = pl.multiple_of(ik * bk, bk)
+            s = s + bias_ref[0, 0, :, pl.ds(off, bk)].astype(jnp.float32)
+        else:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
 
     m_prev = m_scr[:, :1]                          # [bq, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
@@ -96,31 +105,44 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=256, block_k=512, interpret=False)
                        2, bq)
         bb, hb = bias.shape[0], bias.shape[1]
 
-    grid = (B, H, nq, nk)
+    # grid order: q-blocks outermost, then batch/head, k-blocks innermost.
+    # With a broadcast bias this keeps the bias block index constant across
+    # the (b, h, ik) inner dims so Mosaic's revisiting optimization fetches
+    # each q-row's bias exactly once.
+    grid = (nq, B, H, nk)
     in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, bq, D), lambda iq, b, h, ik: (b, h, iq, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda iq, b, h, ik: (b, h, ik, 0)),
+        pl.BlockSpec((1, 1, bk, D), lambda iq, b, h, ik: (b, h, ik, 0)),
     ]
     args = [qp, kp, vp]
     if bias is not None:
-        def bias_index(b, h, iq, ik):
-            return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
-        in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
+        broadcast_bias = bb == 1 and hb == 1
+        # keep the whole [bq, Sk] bias row resident when it fits VMEM (4 MB)
+        bias_resident = broadcast_bias and bq * Skp * bias.dtype.itemsize \
+            <= 4 * 1024 * 1024
+        if bias_resident:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bq, Skp), lambda iq, b, h, ik: (0, 0, iq, 0)))
+        else:
+            def bias_index(iq, b, h, ik):
+                return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
+            in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
         args.append(bias)
-        kernel = functools.partial(_flash_kernel, scale=scale, nk=nk)
+        kernel = functools.partial(_flash_kernel, scale=scale, nk=nk, bk=bk,
+                                   bias_resident=bias_resident)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, o, m, l, a, **kw:
             _flash_kernel(qr, kr, vr, None, o, m, l, a, **kw),
-            scale=scale, nk=nk)
+            scale=scale, nk=nk, bk=bk)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, bq, D),
-                               lambda b, h, iq, ik: (b, h, iq, 0)),
+                               lambda iq, b, h, ik: (b, h, iq, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
