@@ -5,8 +5,10 @@ lax.scan of full CFG dual-branch denoise steps, production architecture,
 bf16) plus the VAE decode/encode stages, then reports the reference sampling
 recipe cost (50 DDIM steps — reference inference_dual_p2e.py:324).
 
-Timing runs a K-step scan inside ONE device computation so host/tunnel
-latency cannot distort per-step numbers.
+Timing: two scan lengths (5 and 25 steps) are each run as ONE device
+computation and the per-step cost is the slope between them, with outputs
+fetched to host (a transfer cannot complete before execution, unlike
+block_until_ready over a tunneled device). Constant overhead cancels.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
@@ -19,14 +21,17 @@ import time
 import numpy as np
 
 
-def _time(fn, *args, iters=2):
+def _fetch(out):
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)   # compile
+    leaves = jax.tree.leaves(out)
+    np.asarray(leaves[0])  # host transfer forces real completion
+
+
+def _time(fn, *args, iters=2):
+    _fetch(fn(*args))   # compile
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _fetch(fn(*args))
     return (time.time() - t0) / iters
 
 
@@ -44,7 +49,7 @@ def main():
 
     frames = 16
     total_steps = 50
-    bench_steps = 4
+    short_steps, long_steps = 5, 25
     M = 20
     jd = jnp.bfloat16
 
@@ -52,8 +57,10 @@ def main():
     model = DualUNet(cfg)
     rig = CameraRig.icosahedron(image_size=256)
     geoms = build_dual_warp_geoms(cfg, rig, (32, 32), (64, 128))
-    sampler = DualDiffusionSampler(
-        model, SamplerConfig(num_steps=bench_steps, add_ip_noise=True))
+    sampler_s = DualDiffusionSampler(
+        model, SamplerConfig(num_steps=short_steps, add_ip_noise=True))
+    sampler_l = DualDiffusionSampler(
+        model, SamplerConfig(num_steps=long_steps, add_ip_noise=True))
 
     pano_lat = jnp.zeros((1, frames, 64, 128, 4), jd)
     pers_lat = jnp.zeros((1, M, frames, 32, 32, 4), jd)
@@ -78,23 +85,24 @@ def main():
         ref_pano, rel, pitch, geoms, jnp.zeros((7,), bool))
     params = _zeros_params(model, init_args, "bfloat16")
 
-    denoise = jax.jit(sampler.denoise)
-    t0 = time.time()
-    out = denoise(params, jax.random.PRNGKey(0), pano_lat, pers_lat,
+    def run(sampler, key):
+        fn = jax.jit(sampler.denoise)
+        return fn(params, key, pano_lat, pers_lat,
                   pano_mask, pano_masked, pers_mask, pers_masked,
                   pano_text, pers_text, geoms, fps, ref_pano, ref_pers,
                   rel, pitch)
-    jax.block_until_ready(out)
-    compile_s = time.time() - t0
 
     t0 = time.time()
-    out = denoise(params, jax.random.PRNGKey(1), pano_lat, pers_lat,
-                  pano_mask, pano_masked, pers_mask, pers_masked,
-                  pano_text, pers_text, geoms, fps, ref_pano, ref_pers,
-                  rel, pitch)
-    jax.block_until_ready(out)
-    loop_s = time.time() - t0
-    step_s = loop_s / bench_steps
+    _fetch(run(sampler_s, jax.random.PRNGKey(0)))   # compile short
+    compile_s = time.time() - t0
+    t0 = time.time()
+    _fetch(run(sampler_s, jax.random.PRNGKey(1)))
+    t_short = time.time() - t0
+    _fetch(run(sampler_l, jax.random.PRNGKey(0)))   # compile long
+    t0 = time.time()
+    _fetch(run(sampler_l, jax.random.PRNGKey(1)))
+    t_long = time.time() - t0
+    step_s = (t_long - t_short) / (long_steps - short_steps)
 
     # VAE decode of the full clip (circularly padded width) + cond encodes
     from imagine360_tpu.models.vae import AutoencoderKL, VAEConfig

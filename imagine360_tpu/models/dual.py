@@ -156,10 +156,9 @@ class DualUNet(nn.Module):
             has_attn = blk_a.heads is not None
             if dual:
                 hp, sp = self.unet.down_blocks[i](
-                    hp, temb, pers_ctx, apply_motion=has_attn)
+                    hp, temb, pers_ctx, False, has_attn)
                 skips_p.extend(sp)
-            ha, sa = blk_a(ha, pano_temb, pano_ctx, pad=pano_pad,
-                           apply_motion=has_attn)
+            ha, sa = blk_a(ha, pano_temb, pano_ctx, pano_pad, has_attn)
             skips_a.extend(sa)
             if dual:
                 hp = shard_views(hp)
@@ -186,11 +185,10 @@ class DualUNet(nn.Module):
                 sk_p = tuple(skips_p[-n_sk:])
                 del skips_p[-n_sk:]
                 hp = self.unet.up_blocks[i](hp, sk_p, temb, pers_ctx,
-                                            apply_motion=has_attn)
+                                            False, has_attn)
             sk_a = tuple(skips_a[-n_sk:])
             del skips_a[-n_sk:]
-            ha = blk_a(ha, sk_a, pano_temb, pano_ctx, pad=pano_pad,
-                       apply_motion=has_attn)
+            ha = blk_a(ha, sk_a, pano_temb, pano_ctx, pano_pad, has_attn)
             if blk_a.add_upsample:
                 if dual and not c.disable_warp:
                     g, opp = geom_for(n_enc + 1 + i)

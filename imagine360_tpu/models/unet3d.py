@@ -270,9 +270,10 @@ class UNet3DConditionModel(nn.Module):
 
         DownCls, MidCls, UpCls = DownBlock3D, MidBlock3D, UpBlock3D
         if c.remat:
-            DownCls = nn.remat(DownBlock3D, static_argnums=(3, 4))
-            MidCls = nn.remat(MidBlock3D, static_argnums=(3,))
-            UpCls = nn.remat(UpBlock3D, static_argnums=(4, 5))
+            # static_argnums count `self` as arg 0 in flax lifted remat
+            DownCls = nn.remat(DownBlock3D, static_argnums=(4, 5))
+            MidCls = nn.remat(MidBlock3D, static_argnums=(4,))
+            UpCls = nn.remat(UpBlock3D, static_argnums=(5, 6))
 
         downs = []
         for i in range(len(boc)):
@@ -379,14 +380,14 @@ class UNet3DConditionModel(nn.Module):
         h = self.stem(sample.astype(c.jdtype), pad)
         skips = [h]
         for blk in self.down_blocks:
-            h, s = blk(h, temb, context, pad)
+            h, s = blk(h, temb, context, pad, True)
             skips.extend(s)
         h = self.mid_block(h, temb, context, pad)
         n = c.layers_per_block + 1
         for blk in self.up_blocks:
             sk = tuple(skips[-n:])
             del skips[-n:]
-            h = blk(h, sk, temb, context, pad)
+            h = blk(h, sk, temb, context, pad, True)
             h = blk.upsample(h, pad)
         return self.head(h, pad)
 
