@@ -68,7 +68,11 @@ def build_modules(cfg: RunConfig, dual_cfg) -> PipelineModules:
             jnp.zeros((n_sites,), bool))
 
     dual_params = _init_params(model, init_dual, dual_cfg.pers.dtype)
-    if cfg.pers_unet_pretrained_model_path and os.path.exists(
+    cache = os.path.join(cfg.orbax_cache, "dual") if cfg.orbax_cache else None
+    if cache and os.path.isdir(cache):
+        log.info("restoring native orbax checkpoint from %s", cache)
+        dual_params = ckpt.load_orbax(cache, target=dual_params)
+    elif cfg.pers_unet_pretrained_model_path and os.path.exists(
             cfg.pers_unet_pretrained_model_path):
         log.info("loading reference checkpoints")
         dual_params, missing, unexpected = ckpt.load_dual_model(
@@ -81,6 +85,9 @@ def build_modules(cfg: RunConfig, dual_cfg) -> PipelineModules:
             cfg.lora_alpha_pers, cfg.lora_alpha_pano)
         log.info("ckpt load: %d missing, %d unexpected",
                  len(missing), len(unexpected))
+        if cache:
+            ckpt.save_orbax(dual_params, cache)
+            log.info("cached native checkpoint at %s", cache)
     else:
         log.warning("no UNet checkpoints found — zero-init dev mode")
 
@@ -166,7 +173,8 @@ def main(argv=None):
     modules = build_modules(cfg, dual_cfg)
     pipe = Imagine360Pipeline(modules, cfg, dual_cfg)
 
-    videos = sorted(glob.glob(os.path.join(cfg.video_path, "*.mp4")))
+    videos = sorted(glob.glob(os.path.join(cfg.video_path, "*.mp4"))
+                    + glob.glob(os.path.join(cfg.video_path, "*.npy")))
     if not videos:
         log.error("no videos found under %s", cfg.video_path)
         return

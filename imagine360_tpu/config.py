@@ -34,6 +34,7 @@ class RunConfig:
     panolora_motion_module_path: Optional[str] = None
     image_pretrained_model_path: Optional[str] = None  # SAM ViT-B
     lmm_path: Optional[str] = None                     # captioner (optional)
+    orbax_cache: Optional[str] = None   # native checkpoint cache directory
 
     # generation settings (reference configs/prompt-dual.yaml:60-83)
     video_path: str = "examples"

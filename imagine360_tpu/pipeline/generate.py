@@ -87,7 +87,6 @@ class Imagine360Pipeline:
                                         self.m.tokenizer(prompt)]))
             emb = self.m.text_encoder.apply(self.m.text_params, ids)
         pano_text = emb
-        pers_text = jnp.repeat(emb, views, axis=0)  # per-view copies
         # [neg*M ; pos*M] ordering to match the CFG batch layout
         pers_text = jnp.concatenate([
             jnp.repeat(emb[:1], views, axis=0),
@@ -180,9 +179,12 @@ class Imagine360Pipeline:
             views_bfhwc = np.transpose(views, (0, 1, 3, 4, 2))
             vmasks_bfhwc = np.transpose(vmasks, (0, 1, 3, 4, 2))
             pers_masked_px = views_bfhwc * (vmasks_bfhwc < 0.5)
+            n_pers = F * M
+            chunk = n_pers // 4 if n_pers % 4 == 0 else None
             pers_masked_lat = prepare_masked_latents(
                 self.m.vae, self.m.vae_params,
-                jnp.asarray(pers_masked_px.reshape(F * M, ps, ps, 3)), k2)
+                jnp.asarray(pers_masked_px.reshape(n_pers, ps, ps, 3)), k2,
+                chunk=chunk)
             pers_masked_lat = pers_masked_lat.reshape(F, M, ps // 8, ps // 8, 4)
 
             pano_mask_lat = downsample_mask_nearest(jnp.asarray(pano_masks))

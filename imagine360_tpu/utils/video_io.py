@@ -13,10 +13,15 @@ def read_video(path: str, num_frames: Optional[int] = None) -> np.ndarray:
     """Read a video, uniformly subsampling to num_frames
     (reference temporal downsample, inference_dual_p2e.py:504-510).
     Returns [F, H, W, 3] uint8."""
-    import imageio.v3 as iio
-
-    frames = iio.imread(path, plugin="pyav") if path.endswith(
-        (".mp4", ".mov", ".webm")) else iio.imread(path)
+    if path.endswith(".npy"):
+        frames = np.load(path)
+    else:
+        import imageio.v3 as iio
+        try:
+            frames = iio.imread(path, plugin="pyav") if path.endswith(
+                (".mp4", ".mov", ".webm")) else iio.imread(path)
+        except Exception:
+            frames = iio.imread(path)
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[None]
