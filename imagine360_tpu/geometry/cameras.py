@@ -49,6 +49,18 @@ def horizon_rig(n: int) -> tuple[np.ndarray, np.ndarray]:
     return theta, np.zeros_like(theta)
 
 
+def random_rig(n: int, rng: np.random.Generator | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """n uniformly random view directions on the sphere
+    (reference pano.py:16-26 random_sample_camera)."""
+    rng = rng or np.random.default_rng()
+    xyz = rng.normal(size=(n, 3))
+    xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True) + 1e-9
+    phi = np.arcsin(np.clip(xyz[:, 2], -1, 1))
+    theta = np.arctan2(xyz[:, 0], xyz[:, 1])
+    return theta, phi
+
+
 def get_K_R(fov_deg: float, theta_deg: float, phi_deg: float,
             height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
     """Pinhole intrinsics + world rotation for a (FoV, yaw, pitch) view.

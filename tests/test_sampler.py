@@ -35,6 +35,65 @@ def test_init_shared_noise_correspondence():
         assert diff.min() < 1e-6
 
 
+def test_denoise_scan_matches_closed_form():
+    """With a zero model output (zero params), v-prediction DDIM has the
+    closed form x' = (sqrt(a_prev * a_t) + sqrt((1-a_prev)(1-a_t))) * x at
+    every step; the compiled scan must reproduce it (validates CFG combine,
+    step coefficient gathers, and the scan plumbing)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import jax
+    from __graft_entry__ import _zeros_params
+    from imagine360_tpu.presets import micro_dual_config
+    from imagine360_tpu.models.dual import DualUNet, warp_sites
+    from imagine360_tpu.pipeline.sampler import (DualDiffusionSampler,
+                                                 SamplerConfig,
+                                                 build_dual_warp_geoms)
+
+    M, F = 8, 2
+    cfg = micro_dual_config(num_views=M)
+    rig = _rig(M, 16)
+    geoms = build_dual_warp_geoms(cfg, rig, (16, 16), (16, 32))
+    model = DualUNet(cfg)
+    steps = 3
+    sampler = DualDiffusionSampler(
+        model, SamplerConfig(num_steps=steps, add_ip_noise=False))
+
+    rng = np.random.default_rng(0)
+    pano0 = jnp.asarray(rng.normal(size=(1, F, 16, 32, 4)).astype(np.float32))
+    pers0 = jnp.asarray(rng.normal(size=(1, M, F, 16, 16, 4)).astype(np.float32))
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    n_sites = len(warp_sites(2))
+    init_args = (
+        jnp.concatenate([pers0, z(1, M, F, 16, 16, 1),
+                         z(1, M, F, 16, 16, 4)], -1),
+        jnp.concatenate([pano0, z(1, F, 16, 32, 1), z(1, F, 16, 32, 4)], -1),
+        z(1), z(M, 7, 32), z(1, 7, 32), z(1), z(M, 16, 16, 8),
+        z(1, 16, 16, 8), z(1, F, 6), z(1, F), geoms, jnp.zeros((n_sites,),
+                                                               bool))
+    params = _zeros_params(model, init_args, "float32")
+
+    pano_out, pers_out = sampler.denoise(
+        params, jax.random.PRNGKey(0), pano0, pers0,
+        z(1, F, 16, 32, 1), z(1, F, 16, 32, 4),
+        z(1, M, F, 16, 16, 1), z(1, M, F, 16, 16, 4),
+        z(2, 7, 32), z(2 * M, 7, 32), geoms,
+        None, z(2, 16, 16, 8), z(2 * M, 16, 16, 8), z(2, F, 6), z(2, F))
+
+    c = sampler.schedule.step_coeffs()
+    factor = 1.0
+    for i in range(steps):
+        a_t, a_p = c["alpha_prod_t"][i], c["alpha_prod_t_prev"][i]
+        factor *= (np.sqrt(a_p * a_t) + np.sqrt((1 - a_p) * (1 - a_t)))
+    np.testing.assert_allclose(np.asarray(pano_out), np.asarray(pano0) * factor,
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pers_out), np.asarray(pers0) * factor,
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_downsample_mask_nearest():
     m = jnp.arange(64, dtype=jnp.float32).reshape(1, 8, 8, 1)
     d = downsample_mask_nearest(m, 4)
