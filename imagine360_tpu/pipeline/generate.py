@@ -160,14 +160,12 @@ class Imagine360Pipeline:
         with timer("sam"):
             feats = self.encode_sam(anchor["anchor"])        # [F, 4096, 256]
             feats_pers = self.encode_sam(anchor["anchor_pers"])
-            zeros = jnp.zeros_like(feats)
-            # CFG: [uncond(zeros in reference? no — reference duplicates the
-            # SAME embeds for both CFG halves, pipeline:695,717)]
+            # the reference duplicates the SAME embeds for both CFG halves
+            # (pipeline:695,717)
             ref_pano = jnp.stack([feats, feats], axis=0)
             ref_pers = jnp.concatenate(
                 [jnp.repeat(feats_pers[None], M, axis=0),
                  jnp.repeat(feats_pers[None], M, axis=0)], axis=0)
-            del zeros
 
         # 3. VAE-encode masked pixels
         with timer("vae encode"):
