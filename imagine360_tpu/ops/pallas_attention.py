@@ -71,6 +71,124 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
+def _flash_kernel_t(q_ref, k_ref, v_ref, bias_ref, o_ref,
+                    m_scr, l_scr, acc_scr, *, scale, nk, bk,
+                    bias_resident=False):
+    """Transposed-layout kernel: q/k/v blocks are [D, bq]/[D, bk] so the
+    sequence axis sits on TPU lanes — for head dims < 128 this avoids the
+    lane padding (up to 4x at D=32) that would otherwise inflate the k/v
+    HBM streaming traffic."""
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)           # [d, bq]
+    k = k_ref[0, 0].astype(jnp.float32)           # [d, bk]
+    s = jax.lax.dot_general(q * scale, k,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [bq, bk]
+    if bias_ref is not None:
+        if bias_resident:
+            off = pl.multiple_of(ik * bk, bk)
+            s = s + bias_ref[0, 0, :, pl.ds(off, bk)].astype(jnp.float32)
+        else:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+    m_prev = m_scr[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)           # [d, bk]
+    pv = jax.lax.dot_general(p, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [bq, d]
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        denom = l_scr[:, :1]
+        denom = jnp.where(denom == 0.0, 1.0, denom)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_bhds(q, k, v, bias, scale, block_q=512, block_k=512,
+                interpret=False):
+    """Transposed layout: q [B, H, D, Sq]; k/v [B, H, D, Sk];
+    bias [1|B, 1|H, Sq, Sk] or None. Returns [B, H, Sq, D]."""
+    B, H, D, Sq = q.shape
+    Sk = k.shape[3]
+    bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (Sk - 1).bit_length()))
+
+    qp = _pad_to(q, 3, bq)
+    kp = _pad_to(k, 3, bk)
+    vp = _pad_to(v, 3, bk)
+    Sqp, Skp = qp.shape[3], vp.shape[3]
+    nq, nk = Sqp // bq, Skp // bk
+
+    if bias is None and Skp != Sk:
+        bias = jnp.zeros((1, 1, Sq, Sk), jnp.float32)
+    if bias is not None:
+        bias = _pad_to(_pad_to(bias, 3, bk, NEG_INF), 2, bq)
+        bb, hb = bias.shape[0], bias.shape[1]
+
+    grid = (nq, B, H, nk)
+    in_specs = [
+        pl.BlockSpec((1, 1, D, bq), lambda iq, b, h, ik: (b, h, 0, iq)),
+        pl.BlockSpec((1, 1, D, bk), lambda iq, b, h, ik: (b, h, 0, ik)),
+        pl.BlockSpec((1, 1, D, bk), lambda iq, b, h, ik: (b, h, 0, ik)),
+    ]
+    args = [qp, kp, vp]
+    if bias is not None:
+        broadcast_bias = bb == 1 and hb == 1
+        bias_resident = broadcast_bias and bq * Skp * bias.dtype.itemsize \
+            <= 4 * 1024 * 1024
+        if bias_resident:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, bq, Skp), lambda iq, b, h, ik: (0, 0, iq, 0)))
+        else:
+            def bias_index(iq, b, h, ik):
+                return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
+            in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
+        args.append(bias)
+        kernel = functools.partial(_flash_kernel_t, scale=scale, nk=nk,
+                                   bk=bk, bias_resident=bias_resident)
+    else:
+        kernel = functools.partial(
+            lambda qr, kr, vr, o, m, l, a, **kw:
+            _flash_kernel_t(qr, kr, vr, None, o, m, l, a, **kw),
+            scale=scale, nk=nk, bk=bk)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bq, D),
+                               lambda iq, b, h, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(*args)
+    return out[:, :, :Sq]
+
+
 def _pad_to(x, axis, mult, value=0.0):
     size = x.shape[axis]
     pad = (-size) % mult
@@ -82,7 +200,7 @@ def _pad_to(x, axis, mult, value=0.0):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_bhsd(q, k, v, bias, scale, block_q=256, block_k=512, interpret=False):
+def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False):
     """q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [1|B, 1|H, Sq, Sk] or None."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
@@ -163,8 +281,18 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     B, Sq, H, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    out = _flash_bhsd(qt, kt, vt, bias, float(scale), interpret=interpret)
+    if D < 128:
+        # transposed layout: sequence on lanes, head dim on sublanes —
+        # k/v stream without lane padding (4x traffic saved at D=32)
+        qt = q.transpose(0, 2, 3, 1)
+        kt = k.transpose(0, 2, 3, 1)
+        vt = v.transpose(0, 2, 3, 1)
+        out = _flash_bhds(qt, kt, vt, bias, float(scale),
+                          interpret=interpret)
+    else:
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        out = _flash_bhsd(qt, kt, vt, bias, float(scale),
+                          interpret=interpret)
     return out.transpose(0, 2, 1, 3)
