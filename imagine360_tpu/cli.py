@@ -47,7 +47,7 @@ def build_modules(cfg: RunConfig, dual_cfg) -> PipelineModules:
     from .geometry import CameraRig
     from .models.dual import warp_sites
 
-    rig = CameraRig.icosahedron(image_size=ps)
+    rig = CameraRig.icosahedron(image_size=ps).take(dual_cfg.num_views)
     geoms = build_dual_warp_geoms(dual_cfg, rig, (ps // 8, ps // 8),
                                   (cfg.pano_H // 8, cfg.pano_W // 8))
     n_sites = len(warp_sites(len(dual_cfg.pers.block_out_channels)))

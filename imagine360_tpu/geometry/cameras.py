@@ -120,6 +120,12 @@ class CameraRig:
             R=np.stack(Rs),
         )
 
+    def take(self, m: int) -> "CameraRig":
+        """First m views (tiny configs / tests)."""
+        return CameraRig(self.fov[:m], self.theta[:m], self.phi[:m],
+                         self.height[:m], self.width[:m], self.K[:m],
+                         self.R[:m])
+
     def as_dict(self) -> dict:
         return {
             "FoV": self.fov, "theta": self.theta, "phi": self.phi,

@@ -66,7 +66,8 @@ class Imagine360Pipeline:
                           guidance_scale=run_cfg.guidance_scale,
                           antipodal_prob=run_cfg.antipodal_prob))
         self.pers_size = run_cfg.pano_H // 2
-        self.rig = CameraRig.icosahedron(image_size=self.pers_size)
+        self.rig = CameraRig.icosahedron(
+            image_size=self.pers_size).take(dual_cfg.num_views)
         self.geoms = build_dual_warp_geoms(
             dual_cfg, self.rig,
             (self.pers_size // 8, self.pers_size // 8),

@@ -12,9 +12,7 @@ from imagine360_tpu.pipeline.conditioning import (init_shared_noise,
 
 def _rig(m=4, size=16):
     r = CameraRig.icosahedron(image_size=size)
-    return dataclasses.replace(
-        r, fov=r.fov[:m], theta=r.theta[:m], phi=r.phi[:m],
-        height=r.height[:m], width=r.width[:m], K=r.K[:m], R=r.R[:m])
+    return r.take(m)
 
 
 def test_init_shared_noise_correspondence():
