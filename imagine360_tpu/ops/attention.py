@@ -39,6 +39,9 @@ def _reference_attention(q, k, v, bias=None, scale=None):
 
 
 def _on_tpu() -> bool:
+    import os
+    if os.environ.get("I360_DISABLE_PALLAS"):
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover

@@ -23,6 +23,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _attn_v2() -> bool:
+    """Opt-in experimental kernel variants (VMEM-resident bias rows,
+    transposed k/v layout). Off by default: some full-model shapes wedge the
+    Mosaic compile on this toolchain (to be root-caused); the v1 kernel
+    compiles reliably end-to-end."""
+    import os
+    return bool(os.environ.get("I360_ATTN_V2"))
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
                   m_scr, l_scr, acc_scr, *, scale, nk, bk,
                   bias_resident=False):
@@ -223,27 +232,42 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False)
                        2, bq)
         bb, hb = bias.shape[0], bias.shape[1]
 
-    # grid order: q-blocks outermost, then batch/head, k-blocks innermost.
-    # With a broadcast bias this keeps the bias block index constant across
-    # the (b, h, ik) inner dims so Mosaic's revisiting optimization fetches
-    # each q-row's bias exactly once.
-    grid = (nq, B, H, nk)
-    in_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda iq, b, h, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda iq, b, h, ik: (b, h, ik, 0)),
-        pl.BlockSpec((1, 1, bk, D), lambda iq, b, h, ik: (b, h, ik, 0)),
-    ]
+    use_resident = _attn_v2()
+    if use_resident:
+        # v2 grid order: q-blocks outermost so a broadcast bias row stays
+        # VMEM-resident across the (b, h, ik) inner dims (Mosaic revisiting)
+        grid = (nq, B, H, nk)
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, D), lambda iq, b, h, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda iq, b, h, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda iq, b, h, ik: (b, h, ik, 0)),
+        ]
+        out_spec = pl.BlockSpec((1, 1, bq, D),
+                                lambda iq, b, h, ik: (b, h, iq, 0))
+    else:
+        grid = (B, H, nq, nk)
+        in_specs = [
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, bk, D), lambda b, h, iq, ik: (b, h, ik, 0)),
+        ]
+        out_spec = pl.BlockSpec((1, 1, bq, D),
+                                lambda b, h, iq, ik: (b, h, iq, 0))
     args = [qp, kp, vp]
     if bias is not None:
         broadcast_bias = bb == 1 and hb == 1
-        # keep the whole [bq, Sk] bias row resident when it fits VMEM (4 MB)
-        bias_resident = broadcast_bias and bq * Skp * bias.dtype.itemsize \
-            <= 4 * 1024 * 1024
+        bias_resident = (use_resident and broadcast_bias
+                         and bq * Skp * bias.dtype.itemsize
+                         <= 4 * 1024 * 1024)
         if bias_resident:
             in_specs.append(pl.BlockSpec(
                 (1, 1, bq, Skp), lambda iq, b, h, ik: (0, 0, iq, 0)))
-        else:
+        elif use_resident:
             def bias_index(iq, b, h, ik):
+                return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
+            in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
+        else:
+            def bias_index(b, h, iq, ik):
                 return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
             in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
         args.append(bias)
@@ -259,8 +283,7 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False)
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, bq, D),
-                               lambda iq, b, h, ik: (b, h, iq, 0)),
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -281,7 +304,7 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     B, Sq, H, D = q.shape
     if scale is None:
         scale = D ** -0.5
-    if D < 128:
+    if D < 128 and _attn_v2():
         # transposed layout: sequence on lanes, head dim on sublanes —
         # k/v stream without lane padding (4x traffic saved at D=32)
         qt = q.transpose(0, 2, 3, 1)
