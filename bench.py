@@ -5,10 +5,11 @@ lax.scan of full CFG dual-branch denoise steps, production architecture,
 bf16) plus the VAE decode/encode stages, then reports the reference sampling
 recipe cost (50 DDIM steps — reference inference_dual_p2e.py:324).
 
-Timing: two scan lengths (5 and 25 steps) are each run as ONE device
-computation and the per-step cost is the slope between them, with outputs
-fetched to host (a transfer cannot complete before execution, unlike
-block_until_ready over a tunneled device). Constant overhead cancels.
+Timing: one compiled scan of `bench_steps` full steps, fetched to host (a
+transfer cannot complete before execution, unlike block_until_ready over a
+tunneled device); per-step = total / bench_steps. Single compile keeps the
+bench robust when the remote compile service is slow; the included per-call
+dispatch overhead (~1/bench_steps) makes the number slightly conservative.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
@@ -49,7 +50,7 @@ def main():
 
     frames = 16
     total_steps = 50
-    short_steps, long_steps = 5, 25
+    bench_steps = 10
     M = 20
     jd = jnp.bfloat16
 
@@ -57,10 +58,8 @@ def main():
     model = DualUNet(cfg)
     rig = CameraRig.icosahedron(image_size=256)
     geoms = build_dual_warp_geoms(cfg, rig, (32, 32), (64, 128))
-    sampler_s = DualDiffusionSampler(
-        model, SamplerConfig(num_steps=short_steps, add_ip_noise=True))
-    sampler_l = DualDiffusionSampler(
-        model, SamplerConfig(num_steps=long_steps, add_ip_noise=True))
+    sampler = DualDiffusionSampler(
+        model, SamplerConfig(num_steps=bench_steps, add_ip_noise=True))
 
     pano_lat = jnp.zeros((1, frames, 64, 128, 4), jd)
     pers_lat = jnp.zeros((1, M, frames, 32, 32, 4), jd)
@@ -85,24 +84,21 @@ def main():
         ref_pano, rel, pitch, geoms, jnp.zeros((7,), bool))
     params = _zeros_params(model, init_args, "bfloat16")
 
-    def run(sampler, key):
-        fn = jax.jit(sampler.denoise)
+    fn = jax.jit(sampler.denoise)
+
+    def run(key):
         return fn(params, key, pano_lat, pers_lat,
                   pano_mask, pano_masked, pers_mask, pers_masked,
                   pano_text, pers_text, geoms, fps, ref_pano, ref_pers,
                   rel, pitch)
 
     t0 = time.time()
-    _fetch(run(sampler_s, jax.random.PRNGKey(0)))   # compile short
+    _fetch(run(jax.random.PRNGKey(0)))   # compile
     compile_s = time.time() - t0
-    t0 = time.time()
-    _fetch(run(sampler_s, jax.random.PRNGKey(1)))
-    t_short = time.time() - t0
-    _fetch(run(sampler_l, jax.random.PRNGKey(0)))   # compile long
-    t0 = time.time()
-    _fetch(run(sampler_l, jax.random.PRNGKey(1)))
-    t_long = time.time() - t0
-    step_s = (t_long - t_short) / (long_steps - short_steps)
+    t_loop = min(
+        (lambda t: (_fetch(run(jax.random.PRNGKey(i))), time.time() - t)[1])(
+            time.time()) for i in (1, 2))
+    step_s = t_loop / bench_steps
 
     # VAE decode of the full clip (circularly padded width) + cond encodes
     from imagine360_tpu.models.vae import AutoencoderKL, VAEConfig
