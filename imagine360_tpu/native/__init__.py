@@ -45,6 +45,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int]
     lib.u8_to_model_range.argtypes = [u8p, ctypes.c_int64, f32p,
                                       ctypes.c_int]
+    lib.max_inscribed_rect_u8.argtypes = [u8p, ctypes.c_int, ctypes.c_int,
+                                          ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return _lib
 
@@ -95,3 +97,18 @@ def u8_to_model_range(frames: np.ndarray, num_threads: int = 8) -> np.ndarray:
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         frames.size, _as_f32p(out), num_threads)
     return out
+
+
+def max_inscribed_rect(mask: np.ndarray):
+    """Largest all-ones rectangle -> (top, left, width, height); native with
+    python fallback."""
+    lib = _load()
+    if lib is None:
+        from ..pipeline.anchor import _max_inscribed_rect_py
+        return _max_inscribed_rect_py(mask)
+    m = np.ascontiguousarray(mask.astype(np.uint8))
+    out = (ctypes.c_int * 4)()
+    lib.max_inscribed_rect_u8(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m.shape[0], m.shape[1], out)
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])

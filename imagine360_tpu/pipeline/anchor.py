@@ -17,8 +17,15 @@ from ..geometry.projection import (pers_pix_to_equi_grid,
 def max_inscribed_rect(mask: np.ndarray):
     """Largest all-ones axis-aligned rectangle in a binary [h, w] mask.
     Returns (top, left, width, height) — the reference's coordinate order
-    (src/modules/utils.py:66-68). Histogram-stack algorithm, vectorized
-    column heights."""
+    (src/modules/utils.py:66-68). Native C++ when built, python fallback."""
+    from .. import native
+    if native.available():
+        return native.max_inscribed_rect(np.asarray(mask))
+    return _max_inscribed_rect_py(mask)
+
+
+def _max_inscribed_rect_py(mask: np.ndarray):
+    """Histogram-stack algorithm, vectorized column heights."""
     h, w = mask.shape
     heights = np.zeros(w, dtype=np.int64)
     best_area = 0

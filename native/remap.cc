@@ -126,4 +126,43 @@ void u8_to_model_range(const uint8_t* src, int64_t n, float* out,
   for (auto& th : threads) th.join();
 }
 
+// Largest all-ones axis-aligned rectangle in a binary mask (histogram-stack
+// DP). Replaces the per-frame python DP in anchor extraction
+// (reference src/modules/utils.py:39-73). mask: [h, w] uint8 (0/1).
+// out4: {top, left, width, height}.
+void max_inscribed_rect_u8(const uint8_t* mask, int h, int w, int* out4) {
+  std::vector<int> heights(w + 1, 0);
+  std::vector<int> stack;
+  stack.reserve(w + 1);
+  int64_t best_area = 0;
+  out4[0] = out4[1] = out4[2] = out4[3] = 0;
+  for (int i = 0; i < h; ++i) {
+    for (int j = 0; j < w; ++j) {
+      heights[j] = mask[static_cast<int64_t>(i) * w + j] ? heights[j] + 1 : 0;
+    }
+    stack.clear();
+    for (int j = 0; j <= w; ++j) {
+      const int cur = (j < w) ? heights[j] : 0;
+      int start = j;
+      while (!stack.empty() && heights[stack.back()] > cur) {
+        const int s = stack.back();
+        stack.pop_back();
+        const int hh = heights[s];
+        const int ww = stack.empty() ? j : j - stack.back() - 1;
+        const int64_t area = static_cast<int64_t>(hh) * ww;
+        if (area > best_area) {
+          best_area = area;
+          out4[0] = i - hh + 1;
+          out4[1] = stack.empty() ? 0 : stack.back() + 1;
+          out4[2] = ww;
+          out4[3] = hh;
+        }
+        start = s;
+      }
+      stack.push_back(j);
+      (void)start;
+    }
+  }
+}
+
 }  // extern "C"
