@@ -99,6 +99,11 @@ def main():
         (lambda t: (_fetch(run(jax.random.PRNGKey(i))), time.time() - t)[1])(
             time.time()) for i in (1, 2))
     step_s = t_loop / bench_steps
+    print(f"# denoise: {step_s*1000:.1f} ms/step (compile {compile_s:.0f}s)",
+          flush=True)
+    # free the big sampler buffers before the VAE stages
+    del params
+    ref_pano = ref_pers = None
 
     # VAE decode of the full clip (circularly padded width) + cond encodes
     from imagine360_tpu.models.vae import AutoencoderKL, VAEConfig
@@ -113,9 +118,10 @@ def main():
     enc_in = jnp.zeros((frames, 512, 1024, 3), jd)
     enc = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
     pano_encode_s = _time(enc, vparams, enc_in, iters=1)
-    enc_pers_in = jnp.zeros((frames * M, 256, 256, 3), jd)
+    # perspective view encodes, chunked like the pipeline (80 frames/chunk)
+    enc_pers_in = jnp.zeros((80, 256, 256, 3), jd)
     encp = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
-    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=1)
+    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=1) *         (frames * M / 80)
 
     clip_s = total_steps * step_s + decode_s + pano_encode_s + pers_encode_s
     target = 60.0
