@@ -97,7 +97,10 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, (q.shape, k.shape)
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    if _on_tpu() and Sq >= 256 and Sk >= 128:
+    # pallas pays off for long kv sequences; short-kv cross attention
+    # (77-141 text(+ip) tokens) is one fused einsum for XLA but thousands of
+    # tiny overhead-dominated grid steps for a flash kernel
+    if _on_tpu() and Sq >= 256 and Sk >= 256:
         try:
             from .pallas_attention import flash_attention
             return flash_attention(q, k, v, bias=bias, scale=scale)
