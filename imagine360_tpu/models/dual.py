@@ -80,6 +80,22 @@ class DualUNet(nn.Module):
                          name=f"cp_blocks_decoder_{i}")
                 for i in range(len(boc) - 1)]
 
+    def compute_ip_tokens(self, ref_feats_pers, ref_feats_pano,
+                          rel_pos=None, pitch=None):
+        """The deterministic part of the IP conditioning (temporal projection
+        + resampler + relative-position adapter). Loop-invariant across
+        denoise steps — compute ONCE before the scan and free the large SAM
+        feature tensors (the reference recomputes this inside every model
+        call, MVGenModel.py:155-222). Per-step noise is applied in
+        __call__."""
+        c = self.cfg
+        ip_pano = ip_pers = None
+        if c.pano.use_ip and ref_feats_pano is not None:
+            ip_pano = self.pano_unet.ip_tokens(ref_feats_pano, rel_pos, pitch)
+        if not c.pano_only and c.pers.use_ip and ref_feats_pers is not None:
+            ip_pers = self.unet.ip_tokens(ref_feats_pers)
+        return ip_pers, ip_pano
+
     def _maybe_noise(self, tokens, add_noise: bool):
         if not add_noise or self.cfg.ip_noise_level <= 0:
             return tokens
@@ -101,7 +117,9 @@ class DualUNet(nn.Module):
                  warp_geoms=None,         # {"r2": {...}, "r4": {...},
                                           #  "r8": {...}, "pe": {site: {...}}}
                  use_opp=None,            # [7] bool (antipodal mask choice)
-                 add_ip_noise: bool = True):
+                 add_ip_noise: bool = True,
+                 ip_tokens_pers=None,     # precomputed (compute_ip_tokens)
+                 ip_tokens_pano=None):
         c = self.cfg
         pano_pad = c.pano_pad
         dual = not c.pano_only and pers_latents is not None
@@ -120,17 +138,23 @@ class DualUNet(nn.Module):
             temb = self.unet.time_embed(t_pers, fps_pers)
         pano_temb = self.pano_unet.time_embed(timestep, fps)
 
-        # 2. ip tokens + contexts (reference MVGenModel.py:150-246)
-        if c.pano.use_ip and ref_feats_pano is not None:
-            ip_pano = self.pano_unet.ip_tokens(ref_feats_pano, rel_pos, pitch)
-            ip_pano = self._maybe_noise(ip_pano, add_ip_noise)
+        # 2. ip tokens + contexts (reference MVGenModel.py:150-246);
+        # tokens may be precomputed once outside the denoise loop
+        if ip_tokens_pano is None and c.pano.use_ip \
+                and ref_feats_pano is not None:
+            ip_tokens_pano = self.pano_unet.ip_tokens(ref_feats_pano,
+                                                      rel_pos, pitch)
+        if ip_tokens_pano is not None:
+            ip_pano = self._maybe_noise(ip_tokens_pano, add_ip_noise)
             pano_ctx = self.pano_unet.build_context(pano_text, ip_pano)
         else:
             pano_ctx = pano_text
         if dual:
-            if c.pers.use_ip and ref_feats_pers is not None:
-                ip_pers = self.unet.ip_tokens(ref_feats_pers)
-                ip_pers = self._maybe_noise(ip_pers, add_ip_noise)
+            if ip_tokens_pers is None and c.pers.use_ip \
+                    and ref_feats_pers is not None:
+                ip_tokens_pers = self.unet.ip_tokens(ref_feats_pers)
+            if ip_tokens_pers is not None:
+                ip_pers = self._maybe_noise(ip_tokens_pers, add_ip_noise)
                 pers_ctx = self.unet.build_context(pers_text, ip_pers)
             else:
                 pers_ctx = pers_text

@@ -25,9 +25,13 @@ from ..models.dual import DualUNet, DualUNetConfig, WARP_SITES, warp_sites
 
 def build_dual_warp_geoms(cfg: DualUNetConfig, cameras,
                           pers_latent_hw, equi_latent_hw,
-                          bias_dtype=np.float32):
+                          bias_dtype=None):
     """All WarpAttn constants for one latent resolution: per-resolution bias
     masks (shared across sites) + per-site spherical PEs."""
+    if bias_dtype is None:
+        # bf16 halves the resident mask memory; values live in [-1, 1]
+        import ml_dtypes
+        bias_dtype = ml_dtypes.bfloat16
     boc = cfg.pers.block_out_channels
     n = len(boc)
     sites = warp_sites(n)
@@ -99,6 +103,15 @@ class DualDiffusionSampler:
         n_sites = len(warp_sites(
             len(self.model.cfg.pers.block_out_channels)))
 
+        # the deterministic IP conditioning is loop-invariant: run the SAM
+        # temporal projection + resampler ONCE so the multi-GB feature
+        # tensors aren't kept live (or recomputed) across 50 steps
+        ip_pers = ip_pano = None
+        if ref_feats_pano is not None or ref_feats_pers is not None:
+            ip_pers, ip_pano = self.model.apply(
+                params, ref_feats_pers, ref_feats_pano, rel_pos, pitch,
+                method=self.model.compute_ip_tokens)
+
         def step(carry, x):
             pano_lat, pers_lat = carry
             key = x["key"]
@@ -118,8 +131,9 @@ class DualDiffusionSampler:
 
             pers_pred, pano_pred = self.model.apply(
                 params, pers_in, pano_in, t_vec, pers_text, pano_text,
-                fps, ref_feats_pers, ref_feats_pano, rel_pos, pitch,
+                fps, None, None, rel_pos, pitch,
                 warp_geoms, use_opp, add_ip_noise=cfg.add_ip_noise,
+                ip_tokens_pers=ip_pers, ip_tokens_pano=ip_pano,
                 rngs={"ip_noise": k_ip})
 
             # CFG combine (reference pipeline:789-795)
