@@ -89,6 +89,54 @@ def _chunked_reference_attention(q, k, v, bias=None, scale=None,
 # don't materialize f32 logits beyond this under any backend
 _LOGITS_BYTES_LIMIT = 128 * 1024 * 1024
 
+# packed tiny-sequence attention: group into sequences of ~this many tokens.
+# Measured on v5e (motion-module shapes): G=32 (512-token packs) beats G=8
+# despite the extra off-diagonal-block softmax work — bigger MXU tiles and
+# fewer, larger head-slice extracts win.
+_PACK_TARGET = 512
+
+
+@functools.lru_cache(maxsize=16)
+def _block_diag_bias(G: int, Sq: int, Sk: int):
+    """[1, 1, G*Sq, G*Sk] additive bias: 0 on the i==j (Sq x Sk) blocks,
+    -1e9 elsewhere — softmax over the packed axis then equals G independent
+    softmaxes (exp(-1e9 - m) == 0 in f32)."""
+    import numpy as np
+    m = np.full((G * Sq, G * Sk), -1e9, np.float32)
+    for i in range(G):
+        m[i * Sq:(i + 1) * Sq, i * Sk:(i + 1) * Sk] = 0.0
+    return m[None, None]
+
+
+def _packed_tiny_attention(q, k, v, scale=None, interpret=False):
+    """Attention for huge-batch/tiny-sequence sites (the AnimateDiff motion
+    modules run frame-axis attention with Sq=Sk=16 over batch ~160k): packs
+    G batch elements into one 512-token sequence under a block-diagonal
+    bias and runs a dedicated whole-sequence pallas kernel. Numerically
+    exact. Versus the chunked einsum path the logits never touch HBM and
+    the MXU sees 512-wide tiles instead of 16-wide ones; versus routing
+    through the generic flash kernel there are NO layout transposes — the
+    kernel consumes the natural [B', S', H*D] layout (every reshape here is
+    free) and slices heads on lanes in-kernel."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    G = _PACK_TARGET // max(Sq, Sk)
+    while G > 1 and B % G:
+        G //= 2
+    if G < 4:
+        return None
+    if scale is None:
+        scale = D ** -0.5
+    Bp = B // G
+    qp = q.reshape(Bp, G * Sq, H * D)
+    kp = k.reshape(Bp, G * Sk, H * D)
+    vp = v.reshape(Bp, G * Sk, H * D)
+    bias = jnp.asarray(_block_diag_bias(G, Sq, Sk)[0])   # [1, S'q, S'k]
+    from .pallas_attention import tiny_packed_attention
+    out = tiny_packed_attention(qp, kp, vp, bias, float(scale), H,
+                                interpret=interpret)
+    return out.reshape(B, Sq, H, D)
+
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
@@ -106,6 +154,14 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             return flash_attention(q, k, v, bias=bias, scale=scale)
         except Exception:
             pass  # fall back to the XLA path (e.g. odd shapes)
+    # huge-batch tiny-sequence sites (motion modules): pack batch elements
+    # into flash sequences under a block-diagonal bias
+    import os
+    if (_on_tpu() and bias is None and Sq <= 64 and Sk <= 64 and B >= 1024
+            and not os.environ.get("I360_DISABLE_PACKED_ATTN")):
+        out = _packed_tiny_attention(q, k, v, scale=scale)
+        if out is not None:
+            return out
     # account for TPU tile padding of the trailing [Sq, Sk] logits dims
     sq_pad = -(-Sq // 8) * 8
     sk_pad = -(-Sk // 128) * 128

@@ -298,6 +298,67 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False)
     return out[:, :, :Sq]
 
 
+def _tiny_packed_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D,
+                        T):
+    """Whole-sequence attention for packed tiny-sequence sites. Blocks
+    arrive in the natural [T, S, H*D] layout (no host-side transposes);
+    heads are static lane slices. The [Sq, Sk] logits live only in VMEM."""
+    bias = b_ref[0].astype(jnp.float32)                    # [Sq, Sk]
+    for t in range(T):
+        for h in range(H):
+            # dots run in the input dtype (bf16 on the hot path — the f32
+            # variant is ~8x slower on the MXU) with f32 accumulation;
+            # probs are cast to v.dtype before PV exactly like the einsum
+            # reference path
+            q = q_ref[t, :, h * D:(h + 1) * D]
+            k = k_ref[t, :, h * D:(h + 1) * D]
+            v = v_ref[t, :, h * D:(h + 1) * D]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+            o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            o_ref[t, :, h * D:(h + 1) * D] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "interpret",
+                                             "t_rows"))
+def tiny_packed_attention(q, k, v, bias, scale, heads, interpret=False,
+                          t_rows=None):
+    """q [B, Sq, H*D]; k/v [B, Sk, H*D]; bias [1, Sq, Sk] f32 (shared by
+    every batch element and head — e.g. the block-diagonal packing mask).
+    Returns [B, Sq, H*D] in q.dtype. Requires Sq/Sk small enough that the
+    full [Sq, Sk] logits fit VMEM (packed motion-module sequences: <=512)."""
+    B, Sq, C = q.shape
+    Sk = k.shape[1]
+    D = C // heads
+    # several packed rows per grid step to amortize per-step overhead
+    T = t_rows if t_rows else max(1, 2048 // max(Sq, Sk))
+    while T > 1 and B % T:
+        T //= 2
+    kernel = functools.partial(_tiny_packed_kernel, scale=scale, H=heads,
+                               D=D, T=T)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // T,),
+        in_specs=[
+            pl.BlockSpec((T, Sq, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((T, Sk, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((T, Sk, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Sq, Sk), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((T, Sq, C), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
 def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     """q [B, Sq, H, D], k/v [B, Sk, H, D], bias broadcastable to
     [B, H, Sq, Sk] (kept unbroadcast in memory). Returns [B, Sq, H, D]."""

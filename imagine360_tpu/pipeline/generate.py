@@ -200,6 +200,10 @@ class Imagine360Pipeline:
             pit = jnp.concatenate([pit, pit], axis=0)
             fps = jnp.full((2,), float(cfg.fps))
 
+            # IP tokens in a separate jit: the SAM feature tensors would
+            # otherwise stay HBM-resident across the whole denoise scan
+            ip_pers, ip_pano = jax.jit(self.sampler.compute_ip)(
+                self.m.dual_params, ref_pers, ref_pano, rel, pit)
             pano_lat, pers_lat = self._denoise(
                 self.m.dual_params, kd,
                 pano_lat0, pers_lat0,
@@ -207,7 +211,8 @@ class Imagine360Pipeline:
                 pers_mask_lat.transpose(1, 0, 2, 3, 4)[None],
                 pers_masked_lat.transpose(1, 0, 2, 3, 4)[None],
                 pano_text, pers_text, self.geoms,
-                fps, ref_pano, ref_pers, rel, pit)
+                fps, None, None, rel, pit,
+                ip_tokens_pers=ip_pers, ip_tokens_pano=ip_pano)
 
         # 5. circular-pad decode (reference pipeline:813-815), frame-chunked
         # to bound activation memory at full resolution

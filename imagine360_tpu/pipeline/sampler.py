@@ -78,6 +78,15 @@ class DualDiffusionSampler:
             num_inference_steps=cfg.num_steps,
             prediction_type=cfg.prediction_type)
 
+    def compute_ip(self, params, ref_feats_pers=None, ref_feats_pano=None,
+                   rel_pos=None, pitch=None):
+        """Jit this separately and pass the resulting (ip_pers, ip_pano)
+        into denoise: keeping the multi-GB SAM feature tensors as denoise
+        arguments would pin them in HBM for the entire 50-step scan."""
+        return self.model.apply(params, ref_feats_pers, ref_feats_pano,
+                                rel_pos, pitch,
+                                method=self.model.compute_ip_tokens)
+
     def denoise(self, params, rng,
                 pano_latent, pers_latent,          # [B,F,eh,ew,4] / [B,M,F,h,w,4]
                 pano_mask, pano_masked,            # [B,F,eh,ew,1] / [B,F,eh,ew,4]
@@ -87,7 +96,9 @@ class DualDiffusionSampler:
                 fps=None,                          # [2] or None
                 ref_feats_pano=None,               # [2,F,D,C]
                 ref_feats_pers=None,               # [2M,F,D,C]
-                rel_pos=None, pitch=None):         # [2,n,6] / [2,n]
+                rel_pos=None, pitch=None,          # [2,n,6] / [2,n]
+                ip_tokens_pers=None,               # precomputed (compute_ip)
+                ip_tokens_pano=None):
         """Runs the full CFG denoise loop. Latent batch B must be 1 (the
         CFG duplication to 2 happens inside, reference pipeline:750-751)."""
         cfg = self.cfg
@@ -105,9 +116,12 @@ class DualDiffusionSampler:
 
         # the deterministic IP conditioning is loop-invariant: run the SAM
         # temporal projection + resampler ONCE so the multi-GB feature
-        # tensors aren't kept live (or recomputed) across 50 steps
-        ip_pers = ip_pano = None
-        if ref_feats_pano is not None or ref_feats_pers is not None:
+        # tensors aren't kept live (or recomputed) across 50 steps.
+        # Prefer tokens precomputed via compute_ip in a separate jit —
+        # feature tensors passed here stay HBM-resident for the whole scan.
+        ip_pers, ip_pano = ip_tokens_pers, ip_tokens_pano
+        if ip_pers is None and ip_pano is None and (
+                ref_feats_pano is not None or ref_feats_pers is not None):
             ip_pers, ip_pano = self.model.apply(
                 params, ref_feats_pers, ref_feats_pano, rel_pos, pitch,
                 method=self.model.compute_ip_tokens)

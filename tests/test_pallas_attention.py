@@ -42,3 +42,50 @@ def test_flash_full_bias_batch_heads():
     ref = _reference_attention(q, k, v, bias=bias)
     out = flash_attention(q, k, v, bias=bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_packed_tiny_matches_reference():
+    # the motion-module shape class: tiny frame-axis sequences, huge batch
+    from imagine360_tpu.ops.attention import _packed_tiny_attention
+    rng = np.random.RandomState(7)
+    B, S, H, D = 128, 16, 2, 8   # G = 512//16 = 32 -> 4 packed rows
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    want = _reference_attention(q, k, v)
+    got = _packed_tiny_attention(q, k, v, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_packed_tiny_asymmetric_and_indivisible():
+    from imagine360_tpu.ops.attention import _packed_tiny_attention
+    rng = np.random.RandomState(3)
+    B, Sq, Sk, H, D = 96, 16, 64, 2, 8   # G=8 fits 96 -> 12 packed rows
+    q = jnp.asarray(rng.randn(B, Sq, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+    want = _reference_attention(q, k, v)
+    got = _packed_tiny_attention(q, k, v, interpret=True)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    # prime batch: no usable packing factor -> caller falls back
+    qp = jnp.asarray(rng.randn(97, Sq, H, D), jnp.float32)
+    assert _packed_tiny_attention(qp, qp, qp, interpret=True) is None
+
+
+def test_packed_tiny_many_rows_bf16():
+    # many packed rows + bf16 inputs (the production motion-module dtype)
+    from imagine360_tpu.ops.attention import _packed_tiny_attention
+    rng = np.random.RandomState(11)
+    B, S, H, D = 512, 16, 2, 8   # G=32 -> 16 packed rows
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.bfloat16)
+    want = _reference_attention(q, k, v)
+    got = _packed_tiny_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
