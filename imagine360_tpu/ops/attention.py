@@ -138,6 +138,45 @@ def _packed_tiny_attention(q, k, v, scale=None, interpret=False):
     return out.reshape(B, Sq, H, D)
 
 
+@functools.lru_cache(maxsize=32)
+def _kpad_bias(Sq: int, Sk: int, Skp: int):
+    """[1, Sq, Skp] f32: zero on real keys, -1e9 on the lane padding."""
+    import numpy as np
+    m = np.zeros((Sq, Skp), np.float32)
+    m[:, Sk:] = -1e9
+    return m[None]
+
+
+# single-block kernel applies when the per-(row, head) [Sq, Skp] f32 logits
+# fit comfortably in VMEM
+_SINGLE_BLOCK_LOGITS = 1024 * 1024
+
+
+def _single_block_attention(q, k, v, scale=None, interpret=False):
+    """Whole-sequence attention in the natural [B, S, H*D] layout via the
+    tiny-packed kernel (no packing): for sites whose [Sq, Sk] logits fit
+    VMEM — spatial self-attention at <=1024 tokens and text/ip
+    cross-attention (Sk 77..141, lane-padded + masked). Versus flash this
+    skips the [B,S,H,D]->[B,H,S,D] transposes; versus the XLA einsum the
+    logits never touch HBM."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    Skp = -(-Sk // 128) * 128
+    qp = q.reshape(B, Sq, H * D)
+    kp = k.reshape(B, Sk, H * D)
+    vp = v.reshape(B, Sk, H * D)
+    if Skp != Sk:
+        kp = jnp.pad(kp, ((0, 0), (0, Skp - Sk), (0, 0)))
+        vp = jnp.pad(vp, ((0, 0), (0, Skp - Sk), (0, 0)))
+    bias = jnp.asarray(_kpad_bias(Sq, Sk, Skp))
+    from .pallas_attention import tiny_packed_attention
+    out = tiny_packed_attention(qp, kp, vp, bias, float(scale), H,
+                                interpret=interpret)
+    return out.reshape(B, Sq, H, D)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
                           scale: float | None = None) -> jnp.ndarray:
@@ -145,23 +184,29 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, (q.shape, k.shape)
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    # pallas pays off for long kv sequences; short-kv cross attention
-    # (77-141 text(+ip) tokens) is one fused einsum for XLA but thousands of
-    # tiny overhead-dominated grid steps for a flash kernel
-    if _on_tpu() and Sq >= 256 and Sk >= 256:
+    import os
+    no_packed = os.environ.get("I360_DISABLE_PACKED_ATTN")
+    on_tpu = _on_tpu()
+    # huge-batch tiny-sequence sites (motion modules): pack batch elements
+    # into 512-token sequences under a block-diagonal bias
+    if (on_tpu and bias is None and Sq <= 64 and Sk <= 64 and B >= 1024
+            and not no_packed):
+        out = _packed_tiny_attention(q, k, v, scale=scale)
+        if out is not None:
+            return out
+    # single-block kernel: spatial self-attention <=1024 tokens, text/ip
+    # cross-attention (the [Sq, Skp] logits fit VMEM; no transposes)
+    skp = -(-Sk // 128) * 128
+    if (on_tpu and bias is None and B >= 16 and Sq % 8 == 0
+            and Sq * skp <= _SINGLE_BLOCK_LOGITS and not no_packed):
+        return _single_block_attention(q, k, v, scale=scale)
+    # flash kernel for long-kv sequences (never materializes [Sq, Sk])
+    if on_tpu and Sq >= 256 and Sk >= 256:
         try:
             from .pallas_attention import flash_attention
             return flash_attention(q, k, v, bias=bias, scale=scale)
         except Exception:
             pass  # fall back to the XLA path (e.g. odd shapes)
-    # huge-batch tiny-sequence sites (motion modules): pack batch elements
-    # into flash sequences under a block-diagonal bias
-    import os
-    if (_on_tpu() and bias is None and Sq <= 64 and Sk <= 64 and B >= 1024
-            and not os.environ.get("I360_DISABLE_PACKED_ATTN")):
-        out = _packed_tiny_attention(q, k, v, scale=scale)
-        if out is not None:
-            return out
     # account for TPU tile padding of the trailing [Sq, Sk] logits dims
     sq_pad = -(-Sq // 8) * 8
     sk_pad = -(-Sk // 128) * 128

@@ -89,3 +89,17 @@ def test_packed_tiny_many_rows_bf16():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_single_block_matches_reference():
+    # spatial-self and text-cross shapes (kv lane-padded + masked)
+    from imagine360_tpu.ops.attention import _single_block_attention
+    rng = np.random.RandomState(5)
+    for B, Sq, Sk, H, D in ((4, 64, 64, 2, 8), (4, 64, 13, 2, 8)):
+        q = jnp.asarray(rng.randn(B, Sq, H, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+        want = _reference_attention(q, k, v)
+        got = _single_block_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
