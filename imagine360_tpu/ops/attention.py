@@ -177,6 +177,59 @@ def _single_block_attention(q, k, v, scale=None, interpret=False):
     return out.reshape(B, Sq, H, D)
 
 
+def _packed_impl(q, k, v, bias, scale):
+    del bias
+    out = _packed_tiny_attention(q, k, v, scale=scale)
+    assert out is not None
+    return out
+
+
+def _single_impl(q, k, v, bias, scale):
+    del bias
+    return _single_block_attention(q, k, v, scale=scale)
+
+
+def _flash_impl(q, k, v, bias, scale):
+    from .pallas_attention import flash_attention
+    return flash_attention(q, k, v, bias=bias, scale=scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _kernel_attention(impl, scale, q, k, v, bias):
+    """Pallas forward with an einsum-reference backward: the kernels have
+    no VJP rules, so training differentiates through the (numerically
+    identical) reference formulation instead."""
+    return impl(q, k, v, bias, scale)
+
+
+def _kernel_attention_fwd(impl, scale, q, k, v, bias):
+    return _kernel_attention(impl, scale, q, k, v, bias), (q, k, v, bias)
+
+
+def _kernel_attention_bwd(impl, scale, res, g):
+    q, k, v, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q, k, v: _reference_attention(q, k, v, scale=scale),
+            q, k, v)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(
+        lambda q, k, v, b: _reference_attention(q, k, v, bias=b,
+                                                scale=scale),
+        q, k, v, bias)
+    return vjp(g)
+
+
+_kernel_attention.defvjp(_kernel_attention_fwd, _kernel_attention_bwd)
+
+
+def _pack_group(B: int, Sq: int, Sk: int) -> int:
+    G = _PACK_TARGET // max(Sq, Sk)
+    while G > 1 and B % G:
+        G //= 2
+    return G
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
                           scale: float | None = None) -> jnp.ndarray:
@@ -187,24 +240,22 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     import os
     no_packed = os.environ.get("I360_DISABLE_PACKED_ATTN")
     on_tpu = _on_tpu()
+    fscale = float(D ** -0.5 if scale is None else scale)
     # huge-batch tiny-sequence sites (motion modules): pack batch elements
     # into 512-token sequences under a block-diagonal bias
     if (on_tpu and bias is None and Sq <= 64 and Sk <= 64 and B >= 1024
-            and not no_packed):
-        out = _packed_tiny_attention(q, k, v, scale=scale)
-        if out is not None:
-            return out
+            and not no_packed and _pack_group(B, Sq, Sk) >= 4):
+        return _kernel_attention(_packed_impl, fscale, q, k, v, None)
     # single-block kernel: spatial self-attention <=1024 tokens, text/ip
     # cross-attention (the [Sq, Skp] logits fit VMEM; no transposes)
     skp = -(-Sk // 128) * 128
     if (on_tpu and bias is None and B >= 16 and Sq % 8 == 0
             and Sq * skp <= _SINGLE_BLOCK_LOGITS and not no_packed):
-        return _single_block_attention(q, k, v, scale=scale)
+        return _kernel_attention(_single_impl, fscale, q, k, v, None)
     # flash kernel for long-kv sequences (never materializes [Sq, Sk])
     if on_tpu and Sq >= 256 and Sk >= 256:
         try:
-            from .pallas_attention import flash_attention
-            return flash_attention(q, k, v, bias=bias, scale=scale)
+            return _kernel_attention(_flash_impl, fscale, q, k, v, bias)
         except Exception:
             pass  # fall back to the XLA path (e.g. odd shapes)
     # account for TPU tile padding of the trailing [Sq, Sk] logits dims

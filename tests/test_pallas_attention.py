@@ -103,3 +103,39 @@ def test_single_block_matches_reference():
         got = _single_block_attention(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_kernel_attention_custom_vjp():
+    # the pallas dispatch wraps kernels in a custom_vjp whose backward is
+    # the einsum reference — check it against direct autodiff
+    from imagine360_tpu.ops.attention import _kernel_attention
+    rng = np.random.RandomState(9)
+    B, Sq, Sk, H, D = 2, 8, 8, 2, 4
+    q = jnp.asarray(rng.randn(B, Sq, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, Sk, H, D), jnp.float32)
+    bias = jnp.asarray(rng.randn(1, 1, Sq, Sk), jnp.float32)
+    scale = D ** -0.5
+
+    def ref_impl(q, k, v, b, s):
+        return _reference_attention(q, k, v, bias=b, scale=s)
+
+    def loss_vjp(q, k, v, b):
+        return (_kernel_attention(ref_impl, scale, q, k, v, b) ** 2).sum()
+
+    def loss_direct(q, k, v, b):
+        return (_reference_attention(q, k, v, bias=b, scale=scale)
+                ** 2).sum()
+
+    got = jax.grad(loss_vjp, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    want = jax.grad(loss_direct, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-5)
+    # bias=None path
+    g0 = jax.grad(lambda q: (_kernel_attention(ref_impl, scale, q, k, v,
+                                               None) ** 2).sum())(q)
+    w0 = jax.grad(lambda q: (_reference_attention(q, k, v, scale=scale)
+                             ** 2).sum())(q)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(w0),
+                               atol=1e-5, rtol=1e-5)
