@@ -192,7 +192,8 @@ def _flash_bhds(q, k, v, bias, scale, block_q=512, block_k=512,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out[:, :, :Sq]
@@ -292,7 +293,8 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary")),
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out[:, :, :Sq]
@@ -363,8 +365,15 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     """q [B, Sq, H, D], k/v [B, Sk, H, D], bias broadcastable to
     [B, H, Sq, Sk] (kept unbroadcast in memory). Returns [B, Sq, H, D]."""
     B, Sq, H, D = q.shape
+    Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
+    # long self-attention (pano spatial 8192, SAM/VAE 4096+): 1024-wide
+    # blocks quadruple the per-grid-step work — measured 1.7x on the pano
+    # r1 site (scripts/pano_attn_micro.py) vs the 512 default
+    blocks = {}
+    if bias is None and Sq == Sk and Sq >= 4096:
+        blocks = dict(block_q=1024, block_k=1024)
     if D < 128 and _attn_v2():
         # transposed layout: sequence on lanes, head dim on sublanes —
         # k/v stream without lane padding (4x traffic saved at D=32)
@@ -372,11 +381,11 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
         kt = k.transpose(0, 2, 3, 1)
         vt = v.transpose(0, 2, 3, 1)
         out = _flash_bhds(qt, kt, vt, bias, float(scale),
-                          interpret=interpret)
+                          interpret=interpret, **blocks)
     else:
         qt = q.transpose(0, 2, 1, 3)
         kt = k.transpose(0, 2, 1, 3)
         vt = v.transpose(0, 2, 1, 3)
         out = _flash_bhsd(qt, kt, vt, bias, float(scale),
-                          interpret=interpret)
+                          interpret=interpret, **blocks)
     return out.transpose(0, 2, 1, 3)
