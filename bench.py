@@ -30,10 +30,12 @@ def _fetch(out):
 
 def _time(fn, *args, iters=2):
     _fetch(fn(*args))   # compile
-    t0 = time.time()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.time()
         _fetch(fn(*args))
-    return (time.time() - t0) / iters
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main():
@@ -124,15 +126,15 @@ def main():
         "bfloat16", rngs={"params": jax.random.PRNGKey(0)})
     z = jnp.zeros((frames, 64, 136, 4), jd)
     dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
-    decode_s = _time(dec, vparams, z, iters=1)
+    decode_s = _time(dec, vparams, z, iters=2)
 
     enc_in = jnp.zeros((frames, 512, 1024, 3), jd)
     enc = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
-    pano_encode_s = _time(enc, vparams, enc_in, iters=1)
+    pano_encode_s = _time(enc, vparams, enc_in, iters=2)
     # perspective view encodes, chunked like the pipeline (80 frames/chunk)
     enc_pers_in = jnp.zeros((80, 256, 256, 3), jd)
     encp = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
-    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=1) *         (frames * M / 80)
+    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=2) * (frames * M / 80)
 
     clip_s = total_steps * step_s + decode_s + pano_encode_s + pers_encode_s
     # north star: <60 s on a v5e-8 (BASELINE.md) = 480 chip-seconds;
