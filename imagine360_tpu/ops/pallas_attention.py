@@ -368,11 +368,12 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     Sk = k.shape[1]
     if scale is None:
         scale = D ** -0.5
-    # long self-attention (pano spatial 8192, SAM/VAE 4096+): 1024-wide
-    # blocks quadruple the per-grid-step work — measured 1.7x on the pano
-    # r1 site (scripts/pano_attn_micro.py) vs the 512 default
+    # long sequences (pano spatial 8192, SAM/VAE 4096+, WarpAttn stage-1
+    # 2048<->5120): 1024-wide blocks quadruple the per-grid-step work —
+    # measured 1.7x on the pano r1 site and 1.13x on the WarpAttn r2 site
+    # (scripts/pano_attn_micro.py, warp_attn_micro.py) vs the 512 default
     blocks = {}
-    if bias is None and Sq == Sk and Sq >= 4096:
+    if min(Sq, Sk) >= 2048:
         blocks = dict(block_q=1024, block_k=1024)
     if D < 128 and _attn_v2():
         # transposed layout: sequence on lanes, head dim on sublanes —
