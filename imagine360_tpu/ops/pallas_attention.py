@@ -361,6 +361,82 @@ def tiny_packed_attention(q, k, v, bias, scale, heads, interpret=False,
     )(q, k, v, bias)
 
 
+def _striped_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D, G,
+                    F):
+    """Temporal (frame-axis) attention consumed in the NATURAL video
+    activation layout: blocks are [1, F, G, C] slices of [B, F, HW, C].
+    Flattening (F, G) -> F*G is a free row-major reshape, giving a packed
+    sequence whose row f*G+g interleaves G spatial locations; under the
+    striped bias (0 iff i==j mod G) softmax over the packed axis equals G
+    independent per-location softmaxes over frames. Unlike the g-major
+    packing this needs NO host-side layout transpose (the former block-diag
+    path forced XLA into lane-major activation layouts that poisoned every
+    adjacent matmul)."""
+    bias = b_ref[0].astype(jnp.float32)                    # [F*G, F*G]
+    S = F * G
+    qp = q_ref[0].reshape(S, H * D)
+    kp = k_ref[0].reshape(S, H * D)
+    vp = v_ref[0].reshape(S, H * D)
+    for h in range(H):
+        q = qp[:, h * D:(h + 1) * D]
+        k = kp[:, h * D:(h + 1) * D]
+        v = vp[:, h * D:(h + 1) * D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+        o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, 0, :, h * D:(h + 1) * D] = o.astype(o_ref.dtype).reshape(
+            F, G, D)
+
+
+@functools.lru_cache(maxsize=16)
+def _striped_bias(G: int, F: int):
+    """[1, F*G, F*G] additive f32 bias: 0 where i == j (mod G) — the
+    interleaved-packing analogue of the block-diagonal mask."""
+    import numpy as np
+    idx = np.arange(F * G)
+    m = np.where((idx[:, None] - idx[None, :]) % G == 0, 0.0,
+                 -1e9).astype(np.float32)
+    return m[None]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "G",
+                                             "interpret"))
+def temporal_packed_attention(q, k, v, scale, heads, G, interpret=False):
+    """Frame-axis attention in the natural layout. q/k/v: [B, F, HW, C]
+    with HW % G == 0; returns [B, F, HW, C] in q.dtype. Each grid step
+    packs G spatial locations into one F*G-token sequence (free reshape)
+    under the striped bias."""
+    B, F, HW, C = q.shape
+    D = C // heads
+    assert HW % G == 0, (HW, G)
+    T = HW // G
+    bias = jnp.asarray(_striped_bias(G, F))
+    kernel = functools.partial(_striped_kernel, scale=scale, H=heads, D=D,
+                               G=G, F=F)
+    q5 = q.reshape(B, F, T, G, C)
+    k5 = k.reshape(B, F, T, G, C)
+    v5 = v.reshape(B, F, T, G, C)
+    spec = pl.BlockSpec((1, F, 1, G, C), lambda b, t: (b, 0, t, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, F * G, F * G), lambda b, t: (0, 0, 0))],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, F, T, G, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q5, k5, v5, bias)
+    return out.reshape(B, F, HW, C)
+
+
 def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     """q [B, Sq, H, D], k/v [B, Sk, H, D], bias broadcastable to
     [B, H, Sq, Sk] (kept unbroadcast in memory). Returns [B, Sq, H, D]."""
