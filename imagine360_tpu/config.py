@@ -50,7 +50,7 @@ class RunConfig:
     prompt: str = ""
     negative_prompt: str = "noisy, ugly, nude, watermark"
     use_outpaint: bool = True
-    angle_adapt: str = "linear_fit"   # {geocalib, linear_fit, none}
+    angle_adapt: str = "linear_fit"   # {geocalib, perspectivefields, linear_fit, none}
     use_ip_plus_cross_attention: bool = True
     ip_plus_condition: str = "video"
     image_encoder_name: str = "SAM"

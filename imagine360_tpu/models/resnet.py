@@ -66,3 +66,41 @@ class Upsample3D(nn.Module):
         x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
         return InflatedConv(self.out_channels, 3, 1, 1, dtype=self.dtype,
                             name="conv")(x)
+
+
+class TemporalConvBlock(nn.Module):
+    """Temporal (frame-axis) conv residual block: 4x [GroupNorm -> silu ->
+    (3,1,1) conv over frames], zero-init last conv, identity residual
+    (reference animatediff/models/resnet.py TemporalConvBlock — constructed
+    by some AnimateDiff variants but unused by the Imagine360 inference
+    path; provided for architecture-config parity). [B, F, H, W, C]."""
+    out_channels: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, F, H, W, C = x.shape
+        out_c = self.out_channels or C
+        h = x
+        for i in range(4):
+            ch = out_c
+            h = GroupNorm(32, 1e-6, inflated=False, dtype=self.dtype,
+                          name=f"norm_{i}")(h)
+            h = nn.silu(h)
+            # conv over the frame axis only: kernel (3,1,1) on [F, H, W]
+            hp = h.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, ch
+                                                    if i else C)
+            kernel = self.param(f"conv_{i}_kernel",
+                                nn.initializers.zeros if i == 3
+                                else nn.initializers.lecun_normal(),
+                                (3, hp.shape[-1], ch), jnp.float32)
+            bias = self.param(f"conv_{i}_bias", nn.initializers.zeros,
+                              (ch,), jnp.float32)
+            import jax
+            y = jax.lax.conv_general_dilated(
+                hp.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(1,), padding=[(1, 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            y = y + bias.astype(self.dtype)
+            h = y.reshape(B, H, W, F, ch).transpose(0, 3, 1, 2, 4)
+        return x + h

@@ -33,9 +33,12 @@ class PitchEstimator:
     mode:
       "none"      — all zeros (angle_adapt: none)
       "linear_fit"— fit a line through externally provided raw pitches
-      "geocalib"  — calls a user-supplied callable (the GeoCalib model is an
-                    external CUDA dependency in the reference; here it's an
-                    injection point: fn(frame_u8) -> pitch_degrees)
+      "geocalib" / "perspectivefields" — calls a user-supplied callable
+                    (both estimators are external CUDA model dependencies in
+                    the reference — GeoCalib via pip, PerspectiveFields via a
+                    module that is absent from the reference repo, see
+                    inference_dual_p2e.py:391-398; here each is an injection
+                    point: fn(frame_u8) -> pitch_degrees)
     """
 
     def __init__(self, mode: str = "linear_fit",
@@ -48,9 +51,10 @@ class PitchEstimator:
         n = frames_u8.shape[0]
         if self.mode == "none":
             return np.zeros((n,), np.float32)
-        if self.mode == "geocalib":
+        if self.mode in ("geocalib", "perspectivefields"):
             if self.estimator is None:
-                raise ValueError("geocalib mode needs an estimator callable")
+                raise ValueError(f"{self.mode} mode needs an estimator "
+                                 "callable")
             raw = [float(self.estimator(f)) for f in frames_u8]
             return linear_fit_pitch(raw)
         if raw_pitches is None:
