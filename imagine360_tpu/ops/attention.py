@@ -223,6 +223,36 @@ def _kernel_attention_bwd(impl, scale, res, g):
 _kernel_attention.defvjp(_kernel_attention_fwd, _kernel_attention_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_attention_trainable(scale, q, k, v, bias):
+    """Flash attention with a STREAMING pallas backward (dq/dk/dv kernels;
+    the [Sq, Sk] matrix never reaches HBM in either direction). The bias is
+    treated as a constant (the WarpAttn correspondence masks are
+    precomputed geometry, never trained — reference src/utils/utils.py
+    builds them from the camera rig alone): its returned gradient is zeros.
+    Set I360_EINSUM_BWD=1 to fall back to the einsum-reference backward."""
+    from .pallas_attention import flash_attention
+    return flash_attention(q, k, v, bias=bias, scale=scale)
+
+
+def _flash_trainable_fwd(scale, q, k, v, bias):
+    from .pallas_attention import flash_attention_fwd_res
+    out, lse = flash_attention_fwd_res(q, k, v, bias=bias, scale=scale)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_trainable_bwd(scale, res, g):
+    from .pallas_attention import flash_attention_bwd
+    q, k, v, bias, out, lse = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, bias, out, lse, g,
+                                     scale=scale)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+_flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
+
+
 def _pack_group(B: int, Sq: int, Sk: int) -> int:
     G = _PACK_TARGET // max(Sq, Sk)
     while G > 1 and B % G:
@@ -320,7 +350,9 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # flash kernel for long-kv sequences (never materializes [Sq, Sk])
     if on_tpu and Sq >= 256 and Sk >= 256:
         try:
-            return _kernel_attention(_flash_impl, fscale, q, k, v, bias)
+            if os.environ.get("I360_EINSUM_BWD"):
+                return _kernel_attention(_flash_impl, fscale, q, k, v, bias)
+            return _flash_attention_trainable(fscale, q, k, v, bias)
         except Exception:
             pass  # fall back to the XLA path (e.g. odd shapes)
     # account for TPU tile padding of the trailing [Sq, Sk] logits dims

@@ -32,7 +32,7 @@ def _attn_v2() -> bool:
     return bool(os.environ.get("I360_ATTN_V2"))
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale, nk, bk,
                   bias_resident=False):
     ik = pl.program_id(3)  # k-block: innermost grid dim
@@ -78,6 +78,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         denom = l_scr[:, :1]
         denom = jnp.where(denom == 0.0, 1.0, denom)
         o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[0, 0] = m_scr[:, :1] + jnp.log(denom)
 
 
 def _flash_kernel_t(q_ref, k_ref, v_ref, bias_ref, o_ref,
@@ -209,9 +211,30 @@ def _pad_to(x, axis, mult, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False):
-    """q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [1|B, 1|H, Sq, Sk] or None."""
+def _mk_flash_kernel(has_bias, with_lse, **kw):
+    """Adapt pallas ref arity (optional bias input, optional lse output) to
+    the _flash_kernel signature."""
+    def kernel(*refs):
+        i = 3
+        bias = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        o = refs[i]
+        i += 1
+        lse = refs[i] if with_lse else None
+        i += 1 if with_lse else 0
+        m, l, acc = refs[i:i + 3]
+        _flash_kernel(refs[0], refs[1], refs[2], bias, o, lse, m, l, acc,
+                      **kw)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret", "with_lse"))
+def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512,
+                interpret=False, with_lse=False):
+    """q [B, H, Sq, D]; k/v [B, H, Sk, D]; bias [1|B, 1|H, Sq, Sk] or None.
+    With with_lse=True additionally returns the per-row logsumexp
+    [B, H, Sqp, 1] f32 (padded rows included) for the flash backward."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
@@ -272,20 +295,29 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False)
                 return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
             in_specs.append(pl.BlockSpec((1, 1, bq, bk), bias_index))
         args.append(bias)
-        kernel = functools.partial(_flash_kernel, scale=scale, nk=nk, bk=bk,
-                                   bias_resident=bias_resident)
+        bias_kw = dict(bias_resident=bias_resident)
     else:
-        kernel = functools.partial(
-            lambda qr, kr, vr, o, m, l, a, **kw:
-            _flash_kernel(qr, kr, vr, None, o, m, l, a, **kw),
-            scale=scale, nk=nk, bk=bk)
+        bias_kw = {}
+    kernel = _mk_flash_kernel(bias is not None, with_lse, scale=scale,
+                              nk=nk, bk=bk, **bias_kw)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype)]
+    out_specs = [out_spec]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, Sqp, 1), jnp.float32))
+        if use_resident:
+            out_specs.append(pl.BlockSpec(
+                (1, 1, bq, 1), lambda iq, b, h, ik: (b, h, iq, 0)))
+        else:
+            out_specs.append(pl.BlockSpec(
+                (1, 1, bq, 1), lambda b, h, iq, ik: (b, h, iq, 0)))
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype),
+        out_specs=out_specs if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -297,6 +329,9 @@ def _flash_bhsd(q, k, v, bias, scale, block_q=512, block_k=512, interpret=False)
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    if with_lse:
+        out, lse = out
+        return out[:, :, :Sq], lse
     return out[:, :, :Sq]
 
 
@@ -435,6 +470,234 @@ def temporal_packed_attention(q, k, v, scale, heads, G, interpret=False):
         interpret=interpret,
     )(q5, k5, v5, bias)
     return out.reshape(B, F, HW, C)
+
+
+# ---------------------------------------------------------------------------
+# Flash backward: streaming dq / dk / dv kernels (no [Sq, Sk] in HBM).
+# Standard two-kernel split: dq accumulates over k-blocks (innermost),
+# dk/dv accumulate over q-blocks (innermost). p is recomputed from the
+# forward's logsumexp; delta = rowsum(dO * O) is a cheap fused XLA op
+# computed outside. Bias (the WarpAttn correspondence masks) is treated as
+# a constant — no dbias is produced here (see ops/attention.py).
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, acc, *, scale, nk):
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0, 0])                       # [bq, bk]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0])
+    acc[:] = acc[:] + jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _done():
+        dq_ref[0, 0] = (acc[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
+                          scale, nq):
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if bias_ref is not None:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    p = jnp.exp(s - lse_ref[0, 0])                       # [bq, bk]
+    # dv += p^T @ dO
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0])
+    # dk += ds^T @ q
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _done():
+        dk_ref[0, 0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _mk_bwd_kernel(fn, has_bias, **kw):
+    def kernel(*refs):
+        if has_bias:
+            fn(*refs, **kw)
+        else:
+            fn(refs[0], refs[1], refs[2], None, *refs[3:], **kw)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_bhsd_bwd(q, k, v, bias, do, lse, delta, scale,
+                    block_q=512, block_k=512, interpret=False):
+    """Backward for _flash_bhsd. q/do [B, H, Sq, D]; k/v [B, H, Sk, D];
+    lse/delta [B, H, Sqp, 1] f32 (padded rows); bias [1|B, 1|H, Sq, Sk] or
+    None. Returns (dq, dk, dv) in the input dtypes."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (Sk - 1).bit_length()))
+
+    qp = _pad_to(q, 2, bq)
+    dop = _pad_to(do, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    Sqp, Skp = qp.shape[2], vp.shape[2]
+    nq, nk = Sqp // bq, Skp // bk
+    assert lse.shape == (B, H, Sqp, 1), (lse.shape, (B, H, Sqp, 1))
+
+    if bias is None and Skp != Sk:
+        bias = jnp.zeros((1, 1, Sq, Sk), jnp.float32)
+    if bias is not None:
+        bias = _pad_to(_pad_to(bias.astype(jnp.float32), 3, bk, NEG_INF),
+                       2, bq)
+        bb, hb = bias.shape[0], bias.shape[1]
+
+    def qspec(order):
+        return pl.BlockSpec((1, 1, bq, D),
+                            (lambda b, h, iq, ik: (b, h, iq, 0)) if order
+                            else (lambda b, h, ik, iq: (b, h, iq, 0)))
+
+    def kspec(order):
+        return pl.BlockSpec((1, 1, bk, D),
+                            (lambda b, h, iq, ik: (b, h, ik, 0)) if order
+                            else (lambda b, h, ik, iq: (b, h, ik, 0)))
+
+    def rspec(order):  # lse / delta rows
+        return pl.BlockSpec((1, 1, bq, 1),
+                            (lambda b, h, iq, ik: (b, h, iq, 0)) if order
+                            else (lambda b, h, ik, iq: (b, h, iq, 0)))
+
+    def bspec(order):
+        def imap_qk(b, h, iq, ik):
+            return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
+
+        def imap_kq(b, h, ik, iq):
+            return (b if bb > 1 else 0, h if hb > 1 else 0, iq, ik)
+        return pl.BlockSpec((1, 1, bq, bk), imap_qk if order else imap_kq)
+
+    # dq: grid (B, H, nq, nk), k innermost
+    in_specs = [qspec(1), kspec(1), kspec(1)]
+    args = [qp, kp, vp]
+    if bias is not None:
+        in_specs.append(bspec(1))
+        args.append(bias)
+    in_specs += [qspec(1), rspec(1), rspec(1)]
+    args += [dop, lse, delta]
+    dq = pl.pallas_call(
+        _mk_bwd_kernel(_flash_bwd_dq_kernel, bias is not None,
+                       scale=scale, nk=nk),
+        grid=(B, H, nq, nk),
+        in_specs=in_specs,
+        out_specs=qspec(1),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sqp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+    # dk/dv: grid (B, H, nk, nq), q innermost
+    in_specs = [qspec(0), kspec(0), kspec(0)]
+    args = [qp, kp, vp]
+    if bias is not None:
+        in_specs.append(bspec(0))
+        args.append(bias)
+    in_specs += [qspec(0), rspec(0), rspec(0)]
+    args += [dop, lse, delta]
+    dk, dv = pl.pallas_call(
+        _mk_bwd_kernel(_flash_bwd_dkv_kernel, bias is not None,
+                       scale=scale, nq=nq),
+        grid=(B, H, nk, nq),
+        in_specs=in_specs,
+        out_specs=(kspec(0), kspec(0)),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Skp, D), k.dtype),
+                   jax.ShapeDtypeStruct((B, H, Skp, D), v.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, D), jnp.float32),
+                        pltpu.VMEM((bk, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    return dq[:, :, :Sq], dk[:, :, :Sk], dv[:, :, :Sk]
+
+
+def flash_attention_fwd_res(q, k, v, bias=None, scale=None, interpret=False):
+    """Forward returning (out [B, Sq, H, D], residual lse [B, H, Sqp, 1])
+    for the streaming backward."""
+    B, Sq, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    blocks = {}
+    if min(Sq, k.shape[1]) >= 2048:
+        blocks = dict(block_q=1024, block_k=1024)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out, lse = _flash_bhsd(qt, kt, vt, bias, float(scale),
+                           interpret=interpret, with_lse=True, **blocks)
+    return out.transpose(0, 2, 1, 3), lse
+
+
+def flash_attention_bwd(q, k, v, bias, out, lse, g, scale=None,
+                        interpret=False):
+    """Streaming flash backward. q/k/v/out/g in [B, S, H, D] layout; lse
+    [B, H, Sqp, 1] from flash_attention_fwd_res. Returns (dq, dk, dv)."""
+    B, Sq, H, D = q.shape
+    if scale is None:
+        scale = D ** -0.5
+    blocks = {}
+    if min(Sq, k.shape[1]) >= 2048:
+        blocks = dict(block_q=1024, block_k=1024)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = out.transpose(0, 2, 1, 3).astype(jnp.float32)
+    gt = g.transpose(0, 2, 1, 3).astype(jnp.float32)
+    delta = jnp.sum(gt * dot, axis=-1, keepdims=True)     # [B, H, Sq, 1]
+    Sqp = lse.shape[2]
+    if Sqp != Sq:
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0)))
+    dq, dk, dv = _flash_bhsd_bwd(qt, kt, vt, bias,
+                                 gt.astype(q.dtype), lse, delta,
+                                 float(scale), interpret=interpret, **blocks)
+    return (dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3),
+            dv.transpose(0, 2, 1, 3))
 
 
 def flash_attention(q, k, v, bias=None, scale=None, interpret=False):

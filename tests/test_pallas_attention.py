@@ -182,3 +182,35 @@ def test_temporal_attention_dispatch_and_vjp():
     g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_ref, g_k):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_flash_streaming_backward():
+    """Streaming pallas backward (dq/dk/dv kernels) vs reference grads,
+    with and without a broadcast additive bias (bias is a constant)."""
+    from imagine360_tpu.ops.pallas_attention import (flash_attention_fwd_res,
+                                                     flash_attention_bwd)
+    B, Sq, Sk, H, D = 2, 200, 300, 2, 32   # unaligned: exercises padding
+    q = _rand((B, Sq, H, D), 0)
+    k = _rand((B, Sk, H, D), 1)
+    v = _rand((B, Sk, H, D), 2)
+    g = _rand((B, Sq, H, D), 3)
+    for bias in (None, _rand((1, 1, Sq, Sk), 4)):
+        out, lse = flash_attention_fwd_res(q, k, v, bias=bias,
+                                           interpret=True)
+        ref = _reference_attention(q, k, v, bias=bias)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5)
+        dq, dk, dv = flash_attention_bwd(q, k, v, bias, out, lse, g,
+                                         interpret=True)
+        if bias is None:
+            _, vjp = jax.vjp(
+                lambda q, k, v: _reference_attention(q, k, v), q, k, v)
+            rq, rk, rv = vjp(g)
+        else:
+            _, vjp = jax.vjp(
+                lambda q, k, v: _reference_attention(q, k, v, bias=bias),
+                q, k, v)
+            rq, rk, rv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4)
