@@ -72,3 +72,35 @@ def test_dpmpp_2m_converges_with_perfect_model():
         v = a * eps_t - s * x0
         x, x0_prev = dpmpp_2m_step(x, v, i, coeffs, x0_prev, "v_prediction")
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=2e-2)
+
+
+def test_temporal_decoder_vae():
+    """SVD-style temporal decoder: shapes, single-video squeeze, and the
+    learned alpha actually mixing the temporal path (perturbing one frame
+    must bleed into its neighbours through the (3,1,1) convs)."""
+    from imagine360_tpu.models.vae import VAEConfig
+    from imagine360_tpu.models.vae_temporal import (
+        AutoencoderKLTemporalDecoder)
+    cfg = VAEConfig(block_out_channels=(32, 32), layers_per_block=1)
+    vae = AutoencoderKLTemporalDecoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 16, 16, 3))      # 4 frames
+    params = vae.init({"params": rng}, x, rng)
+    z = vae.apply(params, x, rng, method=vae.sample)
+    assert z.shape == (4, 8, 8, 4)   # 2 blocks -> f2
+    dec = vae.apply(params, z, method=vae.decode)
+    assert dec.shape == (4, 16, 16, 3)
+    # batched videos
+    dec_b = vae.apply(params, jnp.stack([z, z]), method=vae.decode)
+    assert dec_b.shape == (2, 4, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(dec_b[0]), np.asarray(dec),
+                               atol=1e-5)
+    # temporal mixing: change only frame 0's latent; frame 1 must change
+    # (temporal convs), frame 3 must not (receptive field 2 frames/conv
+    # stack is local but >1)
+    z2 = z.at[0].add(1.0)
+    dec2 = vae.apply(params, z2, method=vae.decode)
+    d_per_frame = np.abs(np.asarray(dec2) - np.asarray(dec)).reshape(
+        4, -1).max(axis=1)
+    assert d_per_frame[0] > 1e-3
+    assert d_per_frame[1] > 1e-5   # neighbour frame sees the change
