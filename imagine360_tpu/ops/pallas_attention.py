@@ -472,6 +472,228 @@ def temporal_packed_attention(q, k, v, scale, heads, G, interpret=False):
     return out.reshape(B, F, HW, C)
 
 
+def _shared_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
+                        ml_scr, acc_scr, *, scale, nk, T):
+    """Flash kernel over T folded (batch*head) rows per grid step with ONE
+    shared [bq, bk] bias block — the bias is streamed once per row-chunk
+    instead of once per (batch, head) pair (the WarpAttn masks are shared
+    by every frame and head; at the biggest warp site the v1 layout moved
+    ~13 GB of bias per call, ~0.8 GB with T=16). The running max and sum
+    share one scratch buffer (m in lanes :64, l in lanes 64:) to halve the
+    row-state VMEM."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        ml_scr[:] = jnp.concatenate(
+            [jnp.full((ml_scr.shape[0], 64), NEG_INF, jnp.float32),
+             jnp.zeros((ml_scr.shape[0], 64), jnp.float32)], axis=1)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    bias = b_ref[:].astype(jnp.float32)                   # [bq, bk]
+    bq = bias.shape[0]
+    for t in range(T):
+        q = q_ref[t].astype(jnp.float32)                  # [bq, d]
+        k = k_ref[t].astype(jnp.float32)                  # [bk, d]
+        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias
+        rows = slice(t * bq, (t + 1) * bq)
+        m_prev = ml_scr[rows, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = (ml_scr[rows, 64:65] * alpha
+                 + jnp.sum(p, axis=-1, keepdims=True))
+        v = v_ref[t].astype(jnp.float32)
+        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_scr[rows] = acc_scr[rows] * alpha + pv
+        ml_scr[rows] = jnp.concatenate(
+            [jnp.broadcast_to(m_new, (bq, 64)),
+             jnp.broadcast_to(l_new, (bq, 64))], axis=1)
+
+        @pl.when(ik == nk - 1)
+        def _done():
+            denom = ml_scr[rows, 64:65]
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            o_ref[t] = (acc_scr[rows] / denom).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[t] = ml_scr[rows, :1] + jnp.log(denom)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "t_rows", "interpret",
+                                             "with_lse"))
+def _flash_shared_bias(q, k, v, bias, scale, block_q=512, block_k=512,
+                       t_rows=None, interpret=False, with_lse=False):
+    """Flash attention for a [1, 1, Sq, Sk]-broadcast bias, (batch, head)
+    folded: q [BH, Sq, D], k/v [BH, Sk, D], bias [Sq, Sk] (any float
+    dtype). Returns [BH, Sq, D] in q.dtype (+ lse [BH, Sqp, 1] f32 when
+    with_lse)."""
+    BH, Sq, D = q.shape
+    Sk = k.shape[1]
+    bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (Sk - 1).bit_length()))
+    T = t_rows or 16
+    while T > 1 and BH % T:
+        T //= 2
+
+    qp = _pad_to(q, 1, bq)
+    kp = _pad_to(k, 1, bk)
+    vp = _pad_to(v, 1, bk)
+    Sqp, Skp = qp.shape[1], vp.shape[1]
+    nq, nk = Sqp // bq, Skp // bk
+    bias = _pad_to(_pad_to(bias, 1, bk, NEG_INF), 0, bq)
+
+    base = functools.partial(_shared_bias_kernel, scale=scale, nk=nk, T=T)
+    if with_lse:
+        kernel = base
+    else:
+        def kernel(q_r, k_r, v_r, b_r, o_r, ml, acc):
+            base(q_r, k_r, v_r, b_r, o_r, None, ml, acc)
+    out_shapes = [jax.ShapeDtypeStruct((BH, Sqp, D), q.dtype)]
+    out_specs = [pl.BlockSpec((T, bq, D), lambda ib, iq, ik: (ib, iq, 0))]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((BH, Sqp, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((T, bq, 1),
+                                      lambda ib, iq, ik: (ib, iq, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH // T, nq, nk),
+        in_specs=[
+            pl.BlockSpec((T, bq, D), lambda ib, iq, ik: (ib, iq, 0)),
+            pl.BlockSpec((T, bk, D), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((T, bk, D), lambda ib, iq, ik: (ib, ik, 0)),
+            pl.BlockSpec((bq, bk), lambda ib, iq, ik: (iq, ik)),
+        ],
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((T * bq, 128), jnp.float32),
+            pltpu.VMEM((T * bq, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(qp, kp, vp, bias)
+    if with_lse:
+        return out[0][:, :Sq], out[1]
+    return out[:, :Sq]
+
+
+def _shared_bias_kernel_t(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
+                          ml_scr, acc_scr, *, scale, nk, T, D):
+    """Fully-transposed shared-bias flash kernel: blocks are [T, D, S]
+    (head dim on SUBLANES — D=32 warp heads waste no lanes in DMA or VMEM,
+    unlike the [S, D] layout which pads 32 -> 128 = 4x), the bias block is
+    [bk, bq] (pre-transposed host-side), per-query running max/sum live as
+    [1, bq] lane-rows in a tiny (T*8, bq) scratch (m at sublane 0, l at 1),
+    and the logits matmuls contract over sublanes. Dots run in the input
+    dtype (bf16) with f32 accumulation."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        sub = jax.lax.broadcasted_iota(jnp.int32, ml_scr.shape, 0) % 8
+        ml_scr[:] = jnp.where(sub == 0, NEG_INF, 0.0)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    bias = b_ref[:].astype(jnp.float32)                   # [bk, bq]
+    for t in range(T):
+        q = q_ref[t]                                      # [D, bq]
+        k = k_ref[t]                                      # [D, bk]
+        s = jax.lax.dot_general(k, q, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + bias                              # [bk, bq]
+        m_prev = ml_scr[8 * t:8 * t + 1, :]               # [1, bq]
+        l_prev = ml_scr[8 * t + 1:8 * t + 2, :]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                            # [bk, bq]
+        l_new = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+        v = v_ref[t]                                      # [D, bk]
+        pv = jax.lax.dot_general(v, p.astype(v_ref.dtype),
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rows = slice(t * D, (t + 1) * D)
+        acc_scr[rows] = acc_scr[rows] * alpha + pv        # [D, bq]
+        ml_scr[8 * t:8 * t + 1, :] = m_new
+        ml_scr[8 * t + 1:8 * t + 2, :] = l_new
+
+        @pl.when(ik == nk - 1)
+        def _done():
+            denom = ml_scr[8 * t + 1:8 * t + 2, :]
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            o_ref[t] = (acc_scr[rows] / denom).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[t] = ml_scr[8 * t:8 * t + 1, :] + jnp.log(denom)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "t_rows", "interpret",
+                                             "with_lse"))
+def _flash_shared_bias_t(q, k, v, bias_t, scale, block_q=1024,
+                         block_k=1024, t_rows=32, interpret=False,
+                         with_lse=False):
+    """Transposed-layout shared-bias flash: q [BH, D, Sq], k/v [BH, D, Sk],
+    bias_t [Sk, Sq] (TRANSPOSED bias). Returns [BH, D, Sq] (+ lse
+    [BH, 1, Sqp] f32 when with_lse)."""
+    BH, D, Sq = q.shape
+    Sk = k.shape[2]
+    bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (Sk - 1).bit_length()))
+    T = t_rows
+    while T > 1 and BH % T:
+        T //= 2
+
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    Sqp, Skp = qp.shape[2], vp.shape[2]
+    nq, nk = Sqp // bq, Skp // bk
+    bias_t = _pad_to(_pad_to(bias_t, 0, bk, NEG_INF), 1, bq)
+
+    base = functools.partial(_shared_bias_kernel_t, scale=scale, nk=nk,
+                             T=T, D=D)
+    if with_lse:
+        kernel = base
+    else:
+        def kernel(q_r, k_r, v_r, b_r, o_r, ml, acc):
+            base(q_r, k_r, v_r, b_r, o_r, None, ml, acc)
+    out_shapes = [jax.ShapeDtypeStruct((BH, D, Sqp), q.dtype)]
+    out_specs = [pl.BlockSpec((T, D, bq), lambda ib, iq, ik: (ib, 0, iq))]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((BH, 1, Sqp), jnp.float32))
+        out_specs.append(pl.BlockSpec((T, 1, bq),
+                                      lambda ib, iq, ik: (ib, 0, iq)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(BH // T, nq, nk),
+        in_specs=[
+            pl.BlockSpec((T, D, bq), lambda ib, iq, ik: (ib, 0, iq)),
+            pl.BlockSpec((T, D, bk), lambda ib, iq, ik: (ib, 0, ik)),
+            pl.BlockSpec((T, D, bk), lambda ib, iq, ik: (ib, 0, ik)),
+            pl.BlockSpec((bk, bq), lambda ib, iq, ik: (ik, iq)),
+        ],
+        out_specs=tuple(out_specs) if with_lse else out_specs[0],
+        out_shape=tuple(out_shapes) if with_lse else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((T * 8, bq), jnp.float32),
+            pltpu.VMEM((T * D, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(qp, kp, vp, bias_t)
+    if with_lse:
+        return out[0][:, :, :Sq], out[1]
+    return out[:, :, :Sq]
+
+
 # ---------------------------------------------------------------------------
 # Flash backward: streaming dq / dk / dv kernels (no [Sq, Sk] in HBM).
 # Standard two-kernel split: dq accumulates over k-blocks (innermost),
@@ -690,8 +912,14 @@ def flash_attention_bwd(q, k, v, bias, out, lse, g, scale=None,
     dot = out.transpose(0, 2, 1, 3).astype(jnp.float32)
     gt = g.transpose(0, 2, 1, 3).astype(jnp.float32)
     delta = jnp.sum(gt * dot, axis=-1, keepdims=True)     # [B, H, Sq, 1]
-    Sqp = lse.shape[2]
+    # normalize lse to THIS backward's q padding (the forward kernel may
+    # have used different block sizes; padded rows carry dO=0 so any value
+    # is inert — use zeros)
+    bq = min(blocks.get("block_q", 512), max(128, 1 << (Sq - 1).bit_length()))
+    Sqp = -(-Sq // bq) * bq
+    lse = lse[:, :, :Sq]
     if Sqp != Sq:
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0)))
         delta = jnp.pad(delta, ((0, 0), (0, 0), (0, Sqp - Sq), (0, 0)))
     dq, dk, dv = _flash_bhsd_bwd(qt, kt, vt, bias,
                                  gt.astype(q.dtype), lse, delta,

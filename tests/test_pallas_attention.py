@@ -214,3 +214,29 @@ def test_flash_streaming_backward():
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4)
+
+
+def test_shared_bias_kernel():
+    """(batch*head)-folded shared-bias flash kernel vs reference, incl. the
+    lse residual used by the streaming backward."""
+    from imagine360_tpu.ops.pallas_attention import _flash_shared_bias
+    B, H, Sq, Sk, D = 2, 2, 160, 272, 32
+    q = _rand((B, Sq, H, D), 0)
+    k = _rand((B, Sk, H, D), 1)
+    v = _rand((B, Sk, H, D), 2)
+    bias = _rand((Sq, Sk), 3)
+    ref = _reference_attention(q, k, v, bias=bias[None, None])
+    qf = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    kf = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    vf = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    out, lse = _flash_shared_bias(qf, kf, vf, bias, D ** -0.5,
+                                  block_q=128, block_k=128, t_rows=2,
+                                  interpret=True, with_lse=True)
+    out = out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
+                               rtol=2e-2)
+    # lse must reproduce softmax denominators: recompute one row
+    s = (np.asarray(qf[0, 0]) * D ** -0.5) @ np.asarray(kf[0]).T \
+        + np.asarray(bias[0])
+    expect = np.log(np.exp(s - s.max()).sum()) + s.max()
+    np.testing.assert_allclose(np.asarray(lse[0, 0, 0]), expect, rtol=1e-3)
