@@ -96,10 +96,66 @@ class InflatedConv(nn.Module):
         return y
 
 
+import functools as _functools
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=32)
+def _group_indicator(C: int, G: int):
+    """[C, G] 0/1 matrix mapping channels to their group."""
+    m = _np.zeros((C, G), _np.float32)
+    cg = C // G
+    for g in range(G):
+        m[g * cg:(g + 1) * cg, g] = 1.0
+    return m
+
+
+def fast_group_norm(x, num_groups: int, epsilon: float, gamma, beta):
+    """GroupNorm via matmul group-reductions.
+
+    The textbook implementation (flax nn.GroupNorm, torch) reshapes
+    [..., C] -> [..., G, C/G] and reduces the tiny trailing axis — on TPU
+    that axis lands on the 128-wide lane dimension (C/G = 10 lanes for the
+    SD UNet's 320/32 norms), padding 12.8x and wrecking every fusion it
+    touches (measured: a Dense+residual epilogue goes 4.3 -> 39 ms when a
+    naive GroupNorm joins the fusion; scripts/spatial_lab.py). Here group
+    stats come from two [N, C] @ [C, G] matmuls (sum and sum-of-squares)
+    and are expanded back with the transposed indicator — no reshapes, two
+    streaming passes over x, everything MXU/VPU shaped.
+
+    x: [N, ...spatial..., C]; stats per (n, group) over spatial x C/G.
+    """
+    N, C = x.shape[0], x.shape[-1]
+    G = num_groups
+    xf = x.reshape(N, -1, C)
+    ind = jnp.asarray(_group_indicator(C, G))
+    x32 = xf.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=1)                              # [N, C]
+    s2 = jnp.sum(jnp.square(x32), axis=1)                  # [N, C]
+    cnt = xf.shape[1] * (C // G)
+    # the group reductions/expansions are tiny [N,C]@[C,G] matmuls; run
+    # them at full f32 precision (the bf16 MXU default costs ~1e-2 error)
+    hi = jax.lax.Precision.HIGHEST
+    mu = jnp.matmul(s1, ind, precision=hi) / cnt           # [N, G]
+    var = jnp.matmul(s2, ind, precision=hi) / cnt - jnp.square(mu)
+    a = jax.lax.rsqrt(var + epsilon)                       # [N, G]
+    a_c = jnp.matmul(a, ind.T, precision=hi)               # [N, C]
+    mu_c = jnp.matmul(mu, ind.T, precision=hi)
+    gamma32 = gamma.astype(jnp.float32)
+    scale = a_c * gamma32
+    shift = beta.astype(jnp.float32) - mu_c * scale
+    y = x32 * scale[:, None, :] + shift[:, None, :]
+    return y.astype(x.dtype).reshape(x.shape)
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over [B, F, H, W, C]. inflated=True normalizes each frame
     independently (reference InflatedGroupNorm, resnet.py:9-17); otherwise
-    statistics span frames too (plain torch GroupNorm on b c f h w)."""
+    statistics span frames too (plain torch GroupNorm on b c f h w).
+
+    Uses the matmul-reduction implementation (fast_group_norm) — numerics
+    match flax/torch GroupNorm; parameter tree is unchanged
+    ({norm: {scale, bias}})."""
     num_groups: int = 32
     epsilon: float = 1e-5
     inflated: bool = True
@@ -107,16 +163,26 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        norm = _FastGN(self.num_groups, self.epsilon, name="norm")
         video = x.ndim == 5
-        norm = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon,
-                            dtype=self.dtype, name="norm")
         if video and self.inflated:
             B, F, H, W, C = x.shape
             return norm(x.reshape(B * F, H, W, C)).reshape(x.shape)
-        if video and not self.inflated:
-            # stats over (F, H, W, group); flax reduces all non-batch axes
-            return norm(x)
         return norm(x)
+
+
+class _FastGN(nn.Module):
+    """Parameter-compatible stand-in for nn.GroupNorm (scale/bias under the
+    same names) running fast_group_norm."""
+    num_groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return fast_group_norm(x, self.num_groups, self.epsilon, gamma, beta)
 
 
 class Attention(nn.Module):

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
-from .layers import Dtype
+from .layers import Dtype, _FastGN
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,11 +47,11 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = _FastGN(32, 1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = _FastGN(32, 1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -70,8 +70,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
-                         name="group_norm")(x)
+        h = _FastGN(32, 1e-6, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -104,8 +103,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(ch, c.jdtype, name="mid_block_resnets_0")(h)
         h = VAEAttention(ch, c.jdtype, name="mid_block_attentions_0")(h)
         h = VAEResnetBlock(ch, c.jdtype, name="mid_block_resnets_1")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=c.jdtype,
-                         name="conv_norm_out")(h)
+        h = _FastGN(32, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                        dtype=c.jdtype, name="conv_out")(h)
@@ -131,8 +129,7 @@ class Decoder(nn.Module):
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=c.jdtype,
                             name=f"up_blocks_{i}_upsamplers_0_conv")(h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=c.jdtype,
-                         name="conv_norm_out")(h)
+        h = _FastGN(32, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=c.jdtype,
                        name="conv_out")(h)

@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Dtype
+from .layers import Dtype, _FastGN
 from .vae import Encoder, VAEAttention, VAEConfig, VAEResnetBlock
 
 
@@ -56,11 +56,9 @@ class TemporalResnetBlock(nn.Module):
                 + bias.astype(self.dtype)
             return y.reshape(B, H, W, F, cout).transpose(0, 3, 1, 2, 4)
 
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
-                         name="norm1")(x)
+        h = _FastGN(32, 1e-6, name="norm1")(x)
         h = tconv(nn.silu(h), self.out_channels, "conv1")
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=self.dtype,
-                         name="norm2")(h)
+        h = _FastGN(32, 1e-6, name="norm2")(h)
         h = tconv(nn.silu(h), self.out_channels, "conv2")
         if C != self.out_channels:
             x = nn.Dense(self.out_channels, dtype=self.dtype,
@@ -123,8 +121,8 @@ class TemporalDecoder(nn.Module):
                 h = spatial(nn.Conv(ch, (3, 3), padding=1, dtype=c.jdtype,
                                     name=f"up_blocks_{i}_upsamplers_0_conv"),
                             h)
-        h = nn.GroupNorm(32, epsilon=1e-6, dtype=c.jdtype,
-                         name="conv_norm_out")(h)
+        # per-frame norm (diffusers folds frames into batch here)
+        h = spatial(_FastGN(32, 1e-6, name="conv_norm_out"), h)
         h = nn.silu(h)
         h = spatial(nn.Conv(c.out_channels, (3, 3), padding=1,
                             dtype=c.jdtype, name="conv_out"), h)

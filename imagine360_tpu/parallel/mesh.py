@@ -4,14 +4,16 @@ The reference has no functional distributed backend (its torch.distributed
 imports are dead code — reference inference_dual_p2e.py:17-19,
 SURVEY.md §2.4); this module is the TPU-native scale-out design:
 
-- one mesh axis "view": the 2x(CFG) x 20 perspective views fold into a
-  40-row batch that shards evenly over 8 ICI-connected chips;
-- the panorama branch (single image per CFG half) shards its *frame* axis
-  over the same mesh axis, so pano convs/attention are also parallel;
+- mesh axes ("replica", "view"): "view" shards the folded 2x(CFG) x 20
+  perspective-view batch (and the pano branch's frame axis) over
+  ICI-connected chips; "replica" is data parallelism over independent
+  clips (training batches / serving requests) — size 1 on a single v5e-8.
 - WarpAttn is the only cross-branch op: pano queries need all perspective
   keys (an all-gather over "view"), perspective queries need the full pano
   (an all-gather over frames). Both ride ICI and are inserted automatically
   by GSPMD from the sharding constraints below.
+- Gradients in the training step reduce over "replica" via GSPMD psum
+  (optax update on replicated params).
 
 Constraints are applied via a module-level active mesh so model code stays
 pure; with no active mesh every annotation is a no-op (single-chip path).
@@ -28,12 +30,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _ACTIVE_MESH: Optional[Mesh] = None
 
 VIEW_AXIS = "view"
+REPLICA_AXIS = "replica"
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, devices=None,
+              replicas: int = 1) -> Mesh:
+    """1D ('view',) mesh by default; pass replicas>1 for a 2D
+    ('replica', 'view') mesh (data parallel x view parallel)."""
     if devices is None:
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
-    return Mesh(np.array(devices), (VIEW_AXIS,))
+    devices = np.array(devices)
+    if replicas > 1:
+        assert len(devices) % replicas == 0, (len(devices), replicas)
+        return Mesh(devices.reshape(replicas, -1),
+                    (REPLICA_AXIS, VIEW_AXIS))
+    return Mesh(devices, (VIEW_AXIS,))
 
 
 @contextlib.contextmanager
@@ -52,25 +63,53 @@ def current_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
+def _axes(mesh: Mesh):
+    has_replica = REPLICA_AXIS in mesh.shape
+    return has_replica
+
+
 def _constrain(x, spec: P):
     mesh = _ACTIVE_MESH
     if mesh is None:
         return x
-    axis = spec  # find which dim carries the axis
     for dim, name in enumerate(spec):
-        if name == VIEW_AXIS and x.shape[dim] % mesh.shape[VIEW_AXIS] != 0:
+        names = name if isinstance(name, tuple) else (name,)
+        total = 1
+        for n in names:
+            if n is not None:
+                total *= mesh.shape[n]
+        if total > 1 and x.shape[dim] % total != 0:
             return x  # not evenly divisible: leave placement to GSPMD
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def shard_views(x):
-    """Constrain the leading folded (CFG*views) axis over the mesh."""
-    return _constrain(x, P(VIEW_AXIS, *([None] * (x.ndim - 1))))
+    """Constrain the leading folded (CFG*views | batch*views) axis. With a
+    2D mesh the fold shards over BOTH axes (replica-major)."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    lead = ((REPLICA_AXIS, VIEW_AXIS) if REPLICA_AXIS in mesh.shape
+            else VIEW_AXIS)
+    return _constrain(x, P(lead, *([None] * (x.ndim - 1))))
 
 
 def shard_frames(x):
-    """Constrain the frame axis (dim 1 of [B, F, ...]) over the mesh."""
-    return _constrain(x, P(None, VIEW_AXIS, *([None] * (x.ndim - 2))))
+    """Constrain the frame axis (dim 1 of [B, F, ...]) over 'view'; the
+    clip axis (dim 0) shards over 'replica' when present."""
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    lead = REPLICA_AXIS if REPLICA_AXIS in mesh.shape else None
+    return _constrain(x, P(lead, VIEW_AXIS, *([None] * (x.ndim - 2))))
+
+
+def shard_batch(x):
+    """Constrain the leading axis over 'replica' only (training batches)."""
+    mesh = _ACTIVE_MESH
+    if mesh is None or REPLICA_AXIS not in mesh.shape:
+        return x
+    return _constrain(x, P(REPLICA_AXIS, *([None] * (x.ndim - 1))))
 
 
 def replicate(x):

@@ -62,6 +62,35 @@ def main():
 
     t("proj_gn_standalone", proj_gn, x, w, b)
 
+    # matmul-reduction GroupNorm (models/layers.fast_group_norm)
+    from imagine360_tpu.models.layers import fast_group_norm
+    gamma = jnp.ones((320,), jnp.float32)
+    beta = jnp.zeros((320,), jnp.float32)
+
+    def proj_fastgn(x, w, b):
+        y = x + (x @ w + b)
+        return fast_group_norm(y[:, None, :], 32, 1e-5, gamma, beta)[:, 0, :]
+
+    t("proj_fastgn_rowwise", proj_fastgn, x, w, b)
+
+    # realistic resnet prologue shape: per-(frame) spatial stats
+    xs = x.reshape(640 + 32 * 8, 1024, 320)   # [N, HW, C] per-frame-ish
+
+    def gn_only(xs):
+        return fast_group_norm(xs, 32, 1e-5, gamma, beta)
+
+    t("fastgn_only_spatial", gn_only, xs)
+
+    def gn_flax(xs):
+        import flax.linen as nn_
+        yf = xs.astype(jnp.float32).reshape(xs.shape[0], -1, 32, 10)
+        mu = yf.mean(axis=(1, 3), keepdims=True)
+        var = yf.var(axis=(1, 3), keepdims=True)
+        y = (yf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return y.reshape(xs.shape).astype(xs.dtype)
+
+    t("naivegn_only_spatial", gn_flax, xs)
+
 
 if __name__ == "__main__":
     main()
