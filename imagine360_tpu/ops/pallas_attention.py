@@ -24,12 +24,18 @@ NEG_INF = -1e30
 
 
 def _attn_v2() -> bool:
-    """Opt-in experimental kernel variants (VMEM-resident bias rows,
-    transposed k/v layout). Off by default: some full-model shapes wedge the
-    Mosaic compile on this toolchain (to be root-caused); the v1 kernel
-    compiles reliably end-to-end."""
+    """Force the transposed-layout kernel everywhere it applies (including
+    biased sites). The transposed kernel is the default for long no-bias
+    D<128 sites; biased broadcast sites use the shared-bias kernel."""
     import os
     return bool(os.environ.get("I360_ATTN_V2"))
+
+
+def _attn_v1() -> bool:
+    """Escape hatch: force the [S, D]-block v1 kernel for all flash
+    sites."""
+    import os
+    return bool(os.environ.get("I360_ATTN_V1"))
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
@@ -942,9 +948,15 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     blocks = {}
     if min(Sq, Sk) >= 2048:
         blocks = dict(block_q=1024, block_k=1024)
-    if D < 128 and _attn_v2():
+    use_t = D < 128 and (_attn_v2() or (bias is None and min(Sq, Sk) >= 2048
+                                        and not _attn_v1()))
+    if use_t:
         # transposed layout: sequence on lanes, head dim on sublanes —
-        # k/v stream without lane padding (4x traffic saved at D=32)
+        # k/v stream without lane padding (2x traffic saved at D=64;
+        # measured 41 -> 36.7 ms on the pano spatial S=8192 site with
+        # 1024x2048 blocks, scripts/spatial_lab.py)
+        if bias is None and min(Sq, Sk) >= 2048:
+            blocks = dict(block_q=1024, block_k=2048)
         qt = q.transpose(0, 2, 3, 1)
         kt = k.transpose(0, 2, 3, 1)
         vt = v.transpose(0, 2, 3, 1)

@@ -240,3 +240,22 @@ def test_shared_bias_kernel():
         + np.asarray(bias[0])
     expect = np.log(np.exp(s - s.max()).sum()) + s.max()
     np.testing.assert_allclose(np.asarray(lse[0, 0, 0]), expect, rtol=1e-3)
+
+
+def test_transposed_flash_kernel():
+    """[D, S]-block transposed kernel (_flash_bhds) vs reference — the
+    default for long no-bias D<128 sites (pano spatial, SAM)."""
+    from imagine360_tpu.ops.pallas_attention import _flash_bhds
+    B, Sq, Sk, H, D = 2, 200, 300, 2, 32
+    q = _rand((B, Sq, H, D), 0)
+    k = _rand((B, Sk, H, D), 1)
+    v = _rand((B, Sk, H, D), 2)
+    ref = _reference_attention(q, k, v)
+    qt = q.transpose(0, 2, 3, 1)
+    kt = k.transpose(0, 2, 3, 1)
+    vt = v.transpose(0, 2, 3, 1)
+    out = _flash_bhds(qt, kt, vt, None, D ** -0.5, block_q=128,
+                      block_k=128, interpret=True)
+    out = out.transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
+                               rtol=2e-2)
