@@ -948,13 +948,12 @@ def flash_attention(q, k, v, bias=None, scale=None, interpret=False):
     blocks = {}
     if min(Sq, Sk) >= 2048:
         blocks = dict(block_q=1024, block_k=1024)
-    use_t = D < 128 and (_attn_v2() or (bias is None and min(Sq, Sk) >= 2048
-                                        and not _attn_v1()))
+    # transposed no-bias layout is kernel-faster standalone (41 -> 36.7 ms
+    # on the pano spatial site, scripts/spatial_lab.py) but the boundary
+    # transposes ([B,S,H*D] -> [B,H,D,S] moves the lane dim) eat the win
+    # in-model (bench: 2.835 vs 2.917 s/step) — so it stays opt-in
+    use_t = D < 128 and _attn_v2()
     if use_t:
-        # transposed layout: sequence on lanes, head dim on sublanes —
-        # k/v stream without lane padding (2x traffic saved at D=64;
-        # measured 41 -> 36.7 ms on the pano spatial S=8192 site with
-        # 1024x2048 blocks, scripts/spatial_lab.py)
         if bias is None and min(Sq, Sk) >= 2048:
             blocks = dict(block_q=1024, block_k=2048)
         qt = q.transpose(0, 2, 3, 1)
