@@ -18,8 +18,7 @@ def main():
         os.path.abspath(__file__))) )
     from scripts.profile_step import build_run
     run, _steps = build_run()
-    import jax
-    lowered = jax.jit(run).lower(jax.random.PRNGKey(0))
+    lowered = run.fn.lower(*run.args, **run.kwargs)
     compiled = lowered.compile()
     txt = compiled.as_text()
     with open(out_path, "w") as f:

@@ -74,6 +74,15 @@ def build_run():
                   pano_text, pers_text, geoms, fps, None, None,
                   rel, pitch, ip_tokens_pers=ip_pers,
                   ip_tokens_pano=ip_pano)
+    # expose the jit + full args so tools (dump_step_hlo) can lower with
+    # params as real arguments (a jit over the closure would bake 4.9 GB of
+    # weights in as constants and distort the lowering)
+    run.fn = fn
+    import jax as __jax
+    run.args = (params, __jax.random.PRNGKey(0), pano_lat, pers_lat,
+                pano_mask, pano_masked, pers_mask, pers_masked,
+                pano_text, pers_text, geoms, fps, None, None, rel, pitch)
+    run.kwargs = dict(ip_tokens_pers=ip_pers, ip_tokens_pano=ip_pano)
     return run, bench_steps
 
 
