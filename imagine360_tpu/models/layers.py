@@ -125,13 +125,26 @@ def fast_group_norm(x, num_groups: int, epsilon: float, gamma, beta):
 
     x: [N, ...spatial..., C]; stats per (n, group) over spatial x C/G.
     """
+    import os
     N, C = x.shape[0], x.shape[-1]
     G = num_groups
     xf = x.reshape(N, -1, C)
     ind = jnp.asarray(_group_indicator(C, G))
     x32 = xf.astype(jnp.float32)
-    s1 = jnp.sum(x32, axis=1)                              # [N, C]
-    s2 = jnp.sum(jnp.square(x32), axis=1)                  # [N, C]
+    if os.environ.get("I360_GN_MMSTATS"):
+        # token reduction as an MXU matmul with a ones vector: the plain
+        # jnp.sum over the token axis biases XLA's layout assignment
+        # toward token-minor activation layouts inside the full model,
+        # which poisons neighboring matmuls into window=B correlation
+        # lowerings (see STATUS.md / scripts/dense3d_lab.py)
+        ones = jnp.ones((xf.shape[1], 8), jnp.float32)
+        hi2 = jax.lax.Precision.HIGHEST
+        s1 = jnp.einsum("nsc,sk->nck", x32, ones, precision=hi2)[..., 0]
+        s2 = jnp.einsum("nsc,sk->nck", jnp.square(x32), ones,
+                        precision=hi2)[..., 0]
+    else:
+        s1 = jnp.sum(x32, axis=1)                          # [N, C]
+        s2 = jnp.sum(jnp.square(x32), axis=1)              # [N, C]
     cnt = xf.shape[1] * (C // G)
     # the group reductions/expansions are tiny [N,C]@[C,G] matmuls; run
     # them at full f32 precision (the bf16 MXU default costs ~1e-2 error)
