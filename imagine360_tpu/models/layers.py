@@ -278,6 +278,21 @@ class IPCrossAttention(nn.Module):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
+def flat2d(fn, x):
+    """Apply a per-token fn on tokens flattened to [N, C] (opt-in via
+    I360_FLAT_DENSE): reshapes are free only under row-major layouts, so
+    the flatten anchors XLA's layout assignment to row-major around these
+    matmuls — a countermeasure to the token-minor layouts the TPU layout
+    assigner sometimes picks inside the full model, which turn adjacent
+    Denses into window=B correlation lowerings (see STATUS.md)."""
+    import os
+    if x.ndim <= 2 or not os.environ.get("I360_FLAT_DENSE"):
+        return fn(x)
+    lead = x.shape[:-1]
+    y = fn(x.reshape(-1, x.shape[-1]))
+    return y.reshape(*lead, y.shape[-1])
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward (diffusers FeedForward, activation_fn='geglu'):
     net_0.proj: Dense(dim -> 2*inner); out = x*gelu(gate); net_2: Dense(->dim).
@@ -290,13 +305,17 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = int(self.dim * self.mult)
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
-        init = nn.initializers.zeros if self.out_zero_init \
-            else nn.initializers.lecun_normal()
-        return nn.Dense(self.dim, kernel_init=init, dtype=self.dtype,
-                        name="net_2")(h)
+
+        def body(x):
+            h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+            init = nn.initializers.zeros if self.out_zero_init \
+                else nn.initializers.lecun_normal()
+            return nn.Dense(self.dim, kernel_init=init, dtype=self.dtype,
+                            name="net_2")(h)
+
+        return flat2d(body, x)
 
 
 class LayerNorm(nn.LayerNorm):

@@ -104,3 +104,33 @@ def test_temporal_decoder_vae():
         4, -1).max(axis=1)
     assert d_per_frame[0] > 1e-3
     assert d_per_frame[1] > 1e-5   # neighbour frame sees the change
+
+
+def test_enhancer_with_temporal_vae():
+    """Full SR pass with the SVD-style temporal-decoder VAE as the decode
+    stage (reference pairs VEnhancer's diffusion with
+    AutoencoderKLTemporalDecoder; sr/video_to_video_model.py:61-67)."""
+    from imagine360_tpu.models.vae import VAEConfig
+    from imagine360_tpu.models.vae_temporal import (
+        AutoencoderKLTemporalDecoder)
+    from imagine360_tpu.sr.enhance import Video360Enhancer, EnhancerConfig
+    cfg = VAEConfig(block_out_channels=(32, 32, 32, 32),  # f8 like SD
+                    layers_per_block=1)
+    vae = AutoencoderKLTemporalDecoder(cfg)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (3, 32, 64, 3))
+    params = vae.init({"params": rng}, x0, rng)
+
+    def denoise_fn(z, t, rng):  # perfect-noise predictor stand-in
+        return jnp.zeros_like(z)
+
+    enh = Video360Enhancer(
+        denoise_fn, vae, params,
+        EnhancerConfig(up_scale=2, num_steps=3, noise_aug=200,
+                       pano_pad_px=8, chunk_frames=2, tile_hw=(6, 10),
+                       color_fix=False))
+    frames = np.random.default_rng(0).random((3, 16, 32, 3)).astype(
+        np.float32)
+    out = enh(frames, jax.random.PRNGKey(1))
+    assert out.shape == (3, 32, 64, 3)
+    assert np.isfinite(out).all()
