@@ -24,9 +24,11 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None     # shadow weights when TrainConfig.ema_decay>0
 
     def tree_flatten(self):
-        return (self.params, self.opt_state, self.step), None
+        return (self.params, self.opt_state, self.step,
+                self.ema_params), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -35,6 +37,39 @@ class TrainState:
 
 jax.tree_util.register_pytree_node(
     TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Production training knobs (the reference ships no training code;
+    these mirror what its checkpoints imply: AdamW, EMA shadow weights —
+    the vendored diffusers carries the EMA utility at
+    diffusers/training_utils.py — DDP-style data parallelism)."""
+    lr: float = 1e-4
+    weight_decay: float = 1e-2
+    warmup_steps: int = 0
+    total_steps: int = 0          # >0 enables cosine decay to 10% of lr
+    grad_clip: float = 0.0        # >0 enables global-norm clipping
+    ema_decay: float = 0.0        # >0 enables EMA shadow params
+    accum_steps: int = 1          # >1 enables gradient accumulation
+    antipodal_prob: float = 0.4
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.total_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, cfg.lr, max(cfg.warmup_steps, 1), cfg.total_steps,
+            end_value=cfg.lr * 0.1)
+    elif cfg.warmup_steps:
+        schedule = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+    else:
+        schedule = cfg.lr
+    tx = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    if cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
 
 
 def make_dual_batch(rng, cfg, num_frames, pers_hw, equi_hw,
@@ -67,10 +102,14 @@ def make_dual_batch(rng, cfg, num_frames, pers_hw, equi_hw,
 
 def make_train_step(model: DualUNet, warp_geoms,
                     optimizer: Optional[optax.GradientTransformation] = None,
-                    antipodal_prob: float = 0.4) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+                    antipodal_prob: float = 0.4,
+                    train_cfg: Optional[TrainConfig] = None) -> Callable:
+    """Returns (train_step, optimizer); train_step(state, batch, rng) ->
+    (state, metrics). Pass a TrainConfig for schedules/EMA/accumulation."""
+    cfg = train_cfg or TrainConfig(antipodal_prob=antipodal_prob)
+    antipodal_prob = cfg.antipodal_prob
     if optimizer is None:
-        optimizer = optax.adamw(1e-4, weight_decay=1e-2)
+        optimizer = make_optimizer(cfg)
     schedule = make_ddim_schedule(num_inference_steps=50)
     acp = jnp.asarray(schedule.alphas_cumprod)
     T = schedule.num_train_timesteps
@@ -113,7 +152,14 @@ def make_train_step(model: DualUNet, warp_geoms,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        return (TrainState(params, opt_state, state.step + 1),
-                {"loss": loss})
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p,
+                               ema, params)
+        return (TrainState(params, opt_state, state.step + 1, ema),
+                metrics)
 
     return train_step, optimizer

@@ -42,3 +42,44 @@ def test_metrics():
     b = np.clip(a + rng.normal(size=a.shape) * 0.1, 0, 1)
     assert 0.2 < ssim(a, b) < 0.99
     assert 15 < psnr(a, b) < 30
+
+
+def test_train_config_ema_accum():
+    """EMA shadow params track the weights; gradient accumulation defers
+    the optax update until the accumulation boundary."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from imagine360_tpu.training.train import (TrainConfig, TrainState,
+                                               make_optimizer)
+    import optax
+
+    cfg = TrainConfig(lr=1e-2, ema_decay=0.9, accum_steps=2, grad_clip=1.0,
+                      warmup_steps=2, total_steps=10)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32),
+                       ema_params=jax.tree.map(jnp.copy, params))
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2)
+
+    prev_w = np.asarray(state.params["w"])
+    for i in range(4):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        ema = jax.tree.map(
+            lambda e, p: e * cfg.ema_decay + (1 - cfg.ema_decay) * p,
+            state.ema_params, new_params)
+        state = TrainState(new_params, opt_state, state.step + 1, ema)
+        w = np.asarray(state.params["w"])
+        if i == 0:
+            # first micro-step of an accumulation pair: no update yet
+            np.testing.assert_allclose(w, prev_w)
+        prev_w = w
+    # after 4 micro-steps (2 real updates + warmup) the weights moved
+    assert abs(float(state.params["w"][0]) - 1.0) > 1e-6
+    # EMA lags behind but tracks
+    assert abs(float(state.ema_params["w"][0]) - 1.0) < \
+        abs(float(state.params["w"][0]) - 1.0) + 1e-9
