@@ -45,6 +45,8 @@ class RunConfig:
     pano_W: int = 1024
     num_inference_steps: int = 50
     guidance_scale: float = 7.5
+    solver: str = "ddim"       # "ddim" (reference recipe) | "dpmpp_2m[_sde]"
+
     fps: int = 8
     global_seed: int = 996995
     prompt: str = ""

@@ -63,6 +63,7 @@ class Imagine360Pipeline:
         self.sampler = DualDiffusionSampler(
             modules.dual,
             SamplerConfig(num_steps=run_cfg.num_inference_steps,
+                          solver=run_cfg.solver,
                           guidance_scale=run_cfg.guidance_scale,
                           antipodal_prob=run_cfg.antipodal_prob))
         self.pers_size = run_cfg.pano_H // 2

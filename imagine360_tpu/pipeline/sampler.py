@@ -65,6 +65,11 @@ class SamplerConfig:
     add_ip_noise: bool = True
     latent_dtype: str = "float32"
     prediction_type: str = "v_prediction"
+    # "ddim" reproduces the reference recipe (50 steps,
+    # inference_dual_p2e.py:324); "dpmpp_2m" reaches comparable quality in
+    # ~half the steps (the reference itself samples its SR stage with
+    # dpmpp_2m_sde, sr/video_to_video_model.py:138-152)
+    solver: str = "ddim"
 
 
 class DualDiffusionSampler:
@@ -77,6 +82,11 @@ class DualDiffusionSampler:
         self.schedule = make_ddim_schedule(
             num_inference_steps=cfg.num_steps,
             prediction_type=cfg.prediction_type)
+        self.dpm_schedule = None
+        if cfg.solver.startswith("dpmpp"):
+            from ..diffusion.dpm import make_dpm_schedule
+            self.dpm_schedule = make_dpm_schedule(
+                cfg.num_steps, prediction_type=cfg.prediction_type)
 
     def compute_ip(self, params, ref_feats_pers=None, ref_feats_pano=None,
                    rel_pos=None, pitch=None):
@@ -102,13 +112,23 @@ class DualDiffusionSampler:
         """Runs the full CFG denoise loop. Latent batch B must be 1 (the
         CFG duplication to 2 happens inside, reference pipeline:750-751)."""
         cfg = self.cfg
-        coeffs = self.schedule.step_coeffs()
-        xs = {
-            "t": jnp.asarray(coeffs["timestep"], jnp.float32),
-            "a_t": jnp.asarray(coeffs["alpha_prod_t"]),
-            "a_prev": jnp.asarray(coeffs["alpha_prod_t_prev"]),
-            "key": jax.random.split(rng, cfg.num_steps),
-        }
+        use_dpm = self.dpm_schedule is not None
+        if use_dpm:
+            dpm_coeffs = {k: jnp.asarray(v) for k, v in
+                          self.dpm_schedule.step_coeffs().items()}
+            xs = {
+                "t": jnp.asarray(dpm_coeffs["timestep"], jnp.float32),
+                "i": jnp.arange(cfg.num_steps),
+                "key": jax.random.split(rng, cfg.num_steps),
+            }
+        else:
+            coeffs = self.schedule.step_coeffs()
+            xs = {
+                "t": jnp.asarray(coeffs["timestep"], jnp.float32),
+                "a_t": jnp.asarray(coeffs["alpha_prod_t"]),
+                "a_prev": jnp.asarray(coeffs["alpha_prod_t_prev"]),
+                "key": jax.random.split(rng, cfg.num_steps),
+            }
         g = cfg.guidance_scale
         dual = pers_latent is not None
         n_sites = len(warp_sites(
@@ -127,7 +147,7 @@ class DualDiffusionSampler:
                 method=self.model.compute_ip_tokens)
 
         def step(carry, x):
-            pano_lat, pers_lat = carry
+            pano_lat, pers_lat, x0p_pano, x0p_pers = carry
             key = x["key"]
             k_opp, k_ip = jax.random.split(key)
             use_opp = jax.random.bernoulli(k_opp, cfg.antipodal_prob,
@@ -153,18 +173,42 @@ class DualDiffusionSampler:
             # CFG combine (reference pipeline:789-795)
             pano_u, pano_c = jnp.split(pano_pred, 2, axis=0)
             pano_out = pano_u + g * (pano_c - pano_u)
-            pano_lat = ddim_step(pano_out, pano_lat, x["a_t"], x["a_prev"],
-                                 self.schedule.prediction_type)
+            if use_dpm:
+                from ..diffusion.dpm import dpmpp_2m_step
+                sde = cfg.solver.endswith("sde")
+                k_n1, k_n2 = jax.random.split(jax.random.fold_in(key, 7))
+                noise_a = (jax.random.normal(k_n1, pano_lat.shape,
+                                             pano_lat.dtype) if sde
+                           else None)
+                pano_lat, x0p_pano = dpmpp_2m_step(
+                    pano_lat, pano_out, x["i"], dpm_coeffs, x0p_pano,
+                    self.schedule.prediction_type, sde_noise=noise_a)
+            else:
+                pano_lat = ddim_step(pano_out, pano_lat, x["a_t"],
+                                     x["a_prev"],
+                                     self.schedule.prediction_type)
             if dual:
                 pers_u, pers_c = jnp.split(pers_pred, 2, axis=0)
                 pers_out = pers_u + g * (pers_c - pers_u)
-                pers_lat = ddim_step(pers_out, pers_lat, x["a_t"],
-                                     x["a_prev"],
-                                     self.schedule.prediction_type)
-            return (pano_lat, pers_lat), None
+                if use_dpm:
+                    noise_p = (jax.random.normal(k_n2, pers_lat.shape,
+                                                 pers_lat.dtype) if sde
+                               else None)
+                    pers_lat, x0p_pers = dpmpp_2m_step(
+                        pers_lat, pers_out, x["i"], dpm_coeffs, x0p_pers,
+                        self.schedule.prediction_type, sde_noise=noise_p)
+                else:
+                    pers_lat = ddim_step(pers_out, pers_lat, x["a_t"],
+                                         x["a_prev"],
+                                         self.schedule.prediction_type)
+            return (pano_lat, pers_lat, x0p_pano, x0p_pers), None
 
-        (pano_lat, pers_lat), _ = jax.lax.scan(step,
-                                               (pano_latent, pers_latent), xs)
+        # x0 history carries are f32 (dpmpp_2m_step returns f32 x0)
+        x0p_pano = jnp.zeros(pano_latent.shape, jnp.float32)
+        x0p_pers = (jnp.zeros(pers_latent.shape, jnp.float32)
+                    if dual else None)
+        (pano_lat, pers_lat, _, _) = jax.lax.scan(
+            step, (pano_latent, pers_latent, x0p_pano, x0p_pers), xs)[0]
         return pano_lat, pers_lat
 
     def jit_denoise(self, donate=True):

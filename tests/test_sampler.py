@@ -98,3 +98,63 @@ def test_downsample_mask_nearest():
     assert d.shape == (1, 2, 2, 1)
     np.testing.assert_array_equal(np.asarray(d)[0, :, :, 0],
                                   [[0, 4], [32, 36]])
+
+
+def test_denoise_dpm_solver_closed_form():
+    """solver='dpmpp_2m' in the dual sampler: with a zero model, the
+    v-prediction data estimate is x0 = alpha_t * x, and the per-step DPM++
+    update has a closed form the compiled scan must reproduce."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _zeros_params
+    from imagine360_tpu.presets import micro_dual_config
+    from imagine360_tpu.models.dual import DualUNet, warp_sites
+    from imagine360_tpu.pipeline.sampler import (DualDiffusionSampler,
+                                                 SamplerConfig,
+                                                 build_dual_warp_geoms)
+    from imagine360_tpu.diffusion.dpm import dpmpp_2m_step
+
+    M, F = 8, 2
+    cfg = micro_dual_config(num_views=M)
+    rig = _rig(M, 16)
+    geoms = build_dual_warp_geoms(cfg, rig, (16, 16), (16, 32))
+    model = DualUNet(cfg)
+    steps = 3
+    sampler = DualDiffusionSampler(
+        model, SamplerConfig(num_steps=steps, add_ip_noise=False,
+                             solver="dpmpp_2m"))
+
+    rng = np.random.default_rng(1)
+    pano0 = jnp.asarray(rng.normal(size=(1, F, 16, 32, 4)).astype(np.float32))
+    pers0 = jnp.asarray(rng.normal(size=(1, M, F, 16, 16, 4)).astype(np.float32))
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    n_sites = len(warp_sites(2))
+    init_args = (
+        jnp.concatenate([pers0, z(1, M, F, 16, 16, 1),
+                         z(1, M, F, 16, 16, 4)], -1),
+        jnp.concatenate([pano0, z(1, F, 16, 32, 1), z(1, F, 16, 32, 4)], -1),
+        z(1), z(M, 7, 32), z(1, 7, 32), z(1), z(M, 16, 16, 8),
+        z(1, 16, 16, 8), z(1, F, 6), z(1, F), geoms, jnp.zeros((n_sites,),
+                                                               bool))
+    params = _zeros_params(model, init_args, "float32")
+
+    pano_out, _ = sampler.denoise(
+        params, jax.random.PRNGKey(0), pano0, pers0,
+        z(1, F, 16, 32, 1), z(1, F, 16, 32, 4),
+        z(1, M, F, 16, 16, 1), z(1, M, F, 16, 16, 4),
+        z(2, 7, 32), z(2 * M, 7, 32), geoms,
+        None, z(2, 16, 16, 8), z(2 * M, 16, 16, 8), z(2, F, 6), z(2, F))
+
+    # replay the same updates with dpmpp_2m_step directly
+    coeffs = {k: jnp.asarray(v) for k, v in
+              sampler.dpm_schedule.step_coeffs().items()}
+    x = pano0
+    x0_prev = jnp.zeros_like(pano0)
+    for i in range(steps):
+        x, x0_prev = dpmpp_2m_step(x, jnp.zeros_like(x), i, coeffs,
+                                   x0_prev, "v_prediction")
+    np.testing.assert_allclose(np.asarray(pano_out), np.asarray(x),
+                               rtol=2e-4, atol=1e-5)
