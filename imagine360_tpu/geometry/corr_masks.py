@@ -225,6 +225,13 @@ def warp_geometry(cameras, pers_hw, equi_hw, dim: int):
         # queries = (view, pers pixel), keys = ERP pixels
         out[f"equi_bias{tag}"] = np.ascontiguousarray(
             equi_m.reshape(-1, equi_m.shape[-1]))
+        # transposed copies for the [T, D, S]-layout shared-bias kernel
+        # (its bias block is [bk, bq]; precomputing avoids a per-call
+        # in-scan transpose of up to 42 MB)
+        out[f"pers_bias{tag}_T"] = np.ascontiguousarray(
+            out[f"pers_bias{tag}"].T)
+        out[f"equi_bias{tag}_T"] = np.ascontiguousarray(
+            out[f"equi_bias{tag}"].T)
     pers_coords, equi_coords = rig_coords(cameras, pers_hw, equi_hw)
     out["pers_pe"] = spherical_pe(pers_coords, dim // 4)
     out["equi_pe"] = spherical_pe(equi_coords, dim // 4)

@@ -223,7 +223,7 @@ class Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, bias=None):
+    def __call__(self, x, context=None, bias=None, bias_t=None):
         if context is None:
             context = x
         inner = self.heads * self.dim_head
@@ -235,7 +235,7 @@ class Attention(nn.Module):
         q = q.reshape(B, Sq, self.heads, self.dim_head)
         k = k.reshape(B, Sk, self.heads, self.dim_head)
         v = v.reshape(B, Sk, self.heads, self.dim_head)
-        out = dot_product_attention(q, k, v, bias=bias)
+        out = dot_product_attention(q, k, v, bias=bias, bias_t=bias_t)
         out = out.reshape(B, Sq, inner)
         init = nn.initializers.zeros if self.out_zero_init \
             else nn.initializers.lecun_normal()

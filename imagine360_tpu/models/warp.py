@@ -36,11 +36,11 @@ class WarpTransformerBlock(nn.Module):
                                out_zero_init=True, dtype=self.dtype)
         self.ff = FeedForward(self.dim, out_zero_init=True, dtype=self.dtype)
 
-    def __call__(self, x, context, bias=None, query_pe=None):
+    def __call__(self, x, context, bias=None, query_pe=None, bias_t=None):
         q = x if query_pe is None else x + query_pe
         q = self.norm1(q)
         c = self.norm1(context)
-        x = self.attn1(q, context=c, bias=bias) + x
+        x = self.attn1(q, context=c, bias=bias, bias_t=bias_t) + x
         x = self.ff(self.norm2(x)) + x
         return x
 
@@ -66,6 +66,13 @@ class WarpAttn(nn.Module):
 
         pers_bias = jnp.where(use_opp, geom["pers_bias_opp"], geom["pers_bias"])
         equi_bias = jnp.where(use_opp, geom["equi_bias_opp"], geom["equi_bias"])
+        # precomputed transposes for the [T, D, S]-layout shared-bias kernel
+        pers_bias_t = equi_bias_t = None
+        if "pers_bias_T" in geom:
+            pers_bias_t = jnp.where(use_opp, geom["pers_bias_opp_T"],
+                                    geom["pers_bias_T"])
+            equi_bias_t = jnp.where(use_opp, geom["equi_bias_opp_T"],
+                                    geom["equi_bias_T"])
         pers_pe = jnp.asarray(geom["pers_pe"], self.dtype)  # [m, h, w, C]
         equi_pe = jnp.asarray(geom["equi_pe"], self.dtype)  # [eh, ew, C]
 
@@ -78,7 +85,9 @@ class WarpAttn(nn.Module):
             equi_pe.reshape(1, eh * ew, C), (b * F, eh * ew, C))
         equi_out = self.transformer(
             q, kv, bias=pers_bias.astype(jnp.float32)[None, None],
-            query_pe=equi_pe_flat)
+            query_pe=equi_pe_flat,
+            bias_t=None if pers_bias_t is None
+            else pers_bias_t.astype(jnp.float32))
         equi_out = equi_out.reshape(b, F, eh, ew, C)
 
         # ---- direction 2: perspective queries attend to ERP keys ----
@@ -88,7 +97,9 @@ class WarpAttn(nn.Module):
             pers_pe.reshape(1, m * h * w, C), (b * F, m * h * w, C))
         pers_out = self.transformer(
             q, kv, bias=equi_bias.astype(jnp.float32)[None, None],
-            query_pe=pers_pe_flat)
+            query_pe=pers_pe_flat,
+            bias_t=None if equi_bias_t is None
+            else equi_bias_t.astype(jnp.float32))
         pers_out = pers_out.reshape(b, F, m, h, w, C)
         pers_out = pers_out.transpose(0, 2, 1, 3, 4, 5).reshape(bm, F, h, w, C)
 

@@ -260,14 +260,15 @@ _SHARED_BIAS_T = 64
 _SHARED_BIAS_BLOCKS = dict(block_q=1024, block_k=1024)
 
 
-def _shared_bias_call(q, k, v, bias, scale, with_lse=False):
+def _shared_bias_call(q, k, v, bias, scale, with_lse=False, bias_t=None):
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     from .pallas_attention import _flash_shared_bias_t
     qf = q.transpose(0, 2, 3, 1).reshape(B * H, D, Sq)
     kf = k.transpose(0, 2, 3, 1).reshape(B * H, D, Sk)
     vf = v.transpose(0, 2, 3, 1).reshape(B * H, D, Sk)
-    out = _flash_shared_bias_t(qf, kf, vf, bias[0, 0].T, scale,
+    bt = bias_t if bias_t is not None else bias[0, 0].T
+    out = _flash_shared_bias_t(qf, kf, vf, bt, scale,
                                t_rows=_SHARED_BIAS_T, with_lse=with_lse,
                                **_SHARED_BIAS_BLOCKS)
     if with_lse:
@@ -278,25 +279,29 @@ def _shared_bias_call(q, k, v, bias, scale, with_lse=False):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _shared_attention_trainable(scale, q, k, v, bias):
+def _shared_attention_trainable(scale, q, k, v, bias, bias_t):
     """WarpAttn-style sites: [1, 1, Sq, Sk]-broadcast bias streamed once
     per folded row-chunk instead of once per (batch, head) — measured 1.9x
     on the biggest warp site (scripts/warp_lab.py). Streaming pallas
-    backward; the constant mask bias gets a zero gradient."""
-    return _shared_bias_call(q, k, v, bias, scale)
+    backward; the constant mask bias gets a zero gradient. bias_t is an
+    optional precomputed transpose of bias[0, 0] (saves an in-scan 42 MB
+    transpose per warp call)."""
+    return _shared_bias_call(q, k, v, bias, scale, bias_t=bias_t)
 
 
-def _shared_trainable_fwd(scale, q, k, v, bias):
-    out, lse = _shared_bias_call(q, k, v, bias, scale, with_lse=True)
-    return out, (q, k, v, bias, out, lse)
+def _shared_trainable_fwd(scale, q, k, v, bias, bias_t):
+    out, lse = _shared_bias_call(q, k, v, bias, scale, with_lse=True,
+                                 bias_t=bias_t)
+    return out, (q, k, v, bias, bias_t, out, lse)
 
 
 def _shared_trainable_bwd(scale, res, g):
     from .pallas_attention import flash_attention_bwd
-    q, k, v, bias, out, lse = res
+    q, k, v, bias, bias_t, out, lse = res
     dq, dk, dv = flash_attention_bwd(q, k, v, bias, out, lse, g,
                                      scale=scale)
-    return dq, dk, dv, jnp.zeros_like(bias)
+    return (dq, dk, dv, jnp.zeros_like(bias),
+            None if bias_t is None else jnp.zeros_like(bias_t))
 
 
 _shared_attention_trainable.defvjp(_shared_trainable_fwd,
@@ -377,8 +382,12 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
-                          scale: float | None = None) -> jnp.ndarray:
-    """Multi-head attention; returns [B, Sq, H, D] in q.dtype."""
+                          scale: float | None = None,
+                          bias_t: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Multi-head attention; returns [B, Sq, H, D] in q.dtype. bias_t is
+    an optional precomputed [Sk, Sq] transpose of a broadcast bias (the
+    shared-bias kernel consumes the transposed form; passing it avoids an
+    in-scan transpose of the 42 MB warp masks)."""
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, (q.shape, k.shape)
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
@@ -403,7 +412,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             and bias.shape[0] == 1 and bias.shape[1] == 1
             and Sq >= 256 and Sk >= 256 and (B * H) % 8 == 0
             and not os.environ.get("I360_NO_SHARED_BIAS")):
-        return _shared_attention_trainable(fscale, q, k, v, bias)
+        return _shared_attention_trainable(fscale, q, k, v, bias, bias_t)
     # flash kernel for long-kv sequences (never materializes [Sq, Sk])
     if on_tpu and Sq >= 256 and Sk >= 256:
         try:
