@@ -62,6 +62,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from imagine360_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+
     from __graft_entry__ import _zeros_params
     from imagine360_tpu.presets import full_dual_config
     from imagine360_tpu.models.dual import DualUNet

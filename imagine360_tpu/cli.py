@@ -162,7 +162,25 @@ def main(argv=None):
     ap.add_argument("--config", required=True)
     ap.add_argument("--tiny", action="store_true",
                     help="tiny architecture (CPU smoke runs)")
+    ap.add_argument("--platform", default=None,
+                    choices=("cpu", "tpu", "axon"),
+                    help="force a jax backend. NOTE: this image's axon "
+                    "plugin overrides the JAX_PLATFORMS env var, so CPU "
+                    "runs need --platform cpu (the env var alone is "
+                    "silently ignored)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        if args.platform == "cpu" and \
+                "xla_force_host_platform_device_count" not in \
+                os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                       + " --xla_force_host_platform_device_count=8").strip()
+        jax.config.update("jax_platforms", args.platform)
+
+    from .utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     cfg = RunConfig.from_yaml(args.config)
     dual_cfg = (tiny_dual_config() if args.tiny

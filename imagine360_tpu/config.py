@@ -59,6 +59,11 @@ class RunConfig:
     use_fps_condition: bool = True
     antipodal_prob: float = 0.4
     dtype: str = "bfloat16"
+    # multi-chip execution (SURVEY §2.4): shard the denoise scan over all
+    # visible devices ('view' axis: folded CFGxviews batch + pano frames);
+    # "auto" activates the mesh when >1 device is visible
+    use_mesh: str = "auto"     # {"auto", "on", "off"}
+    mesh_replicas: int = 1     # >1: 2D ('replica','view') mesh
 
     scheduler: SchedulerSettings = dataclasses.field(
         default_factory=SchedulerSettings)

@@ -48,14 +48,20 @@ def downsample_mask_nearest(mask, factor: int = 8):
 
 
 def prepare_masked_latents(vae, vae_params, pixels, rng,
-                           scaling: float = 0.18215, chunk: int | None = None):
+                           scaling: float = 0.18215, chunk: int | None = None,
+                           deterministic: bool = False):
     """VAE-encode masked pixel frames to conditioning latents
     (reference pipeline :427-473; the reference loops 8-frame chunks on GPU,
     on TPU we batch everything unless `chunk` forces scan-chunking).
 
     pixels: [N, H, W, 3] in [-1, 1] -> [N, H/8, W/8, 4] * scaling.
+    deterministic=True takes the posterior mean instead of sampling (used by
+    parity tests to remove RNG divergence vs the torch reference).
     """
     def encode(frames, key):
+        if deterministic:
+            mean, _ = vae.apply(vae_params, frames, method=vae.encode)
+            return mean * scaling
         return vae.apply(vae_params, frames, key, method=vae.sample) * scaling
 
     n = pixels.shape[0]

@@ -27,18 +27,96 @@ def linear_fit_pitch(pitches: Sequence[float]) -> np.ndarray:
     return (ym + slope * (x - xm)).astype(np.float32)
 
 
+def weighted_linear_fit_pitch(pitches: Sequence[float],
+                              weights: Sequence[float]) -> np.ndarray:
+    """Weighted least-squares line over frame index; frames with zero weight
+    (no estimate) get the fitted value. Falls back to the unweighted fit /
+    zeros when too few frames carry signal."""
+    y = np.asarray(pitches, np.float64)
+    w = np.asarray(weights, np.float64)
+    n = len(y)
+    if w.sum() <= 0:
+        return np.zeros((n,), np.float32)
+    if (w > 0).sum() == 1:
+        return np.full((n,), float(y[w > 0][0]), np.float32)
+    x = np.arange(n, dtype=np.float64)
+    xm = (w * x).sum() / w.sum()
+    ym = (w * y).sum() / w.sum()
+    denom = (w * (x - xm) ** 2).sum()
+    slope = 0.0 if denom == 0 else (w * (x - xm) * (y - ym)).sum() / denom
+    return (ym + slope * (x - xm)).astype(np.float32)
+
+
+def estimate_pitch_horizon(frame_u8: np.ndarray,
+                           fov_deg: float = 90.0):
+    """Self-contained single-frame pitch estimate (degrees) from the visual
+    horizon: near-horizontal Hough line segments vote (length-weighted) for
+    the horizon row; pitch = atan((y_horizon - cy) / f) with f from the
+    pipeline's 90-degree warp FoV. Replaces the reference's external
+    GeoCalib CUDA model (inference_dual_p2e.py:263-273) with a classic
+    estimator so `angle_adapt: geocalib` configs run with no user code.
+
+    Returns (pitch_degrees, confidence weight in [0, inf)); weight 0 means
+    "no horizon evidence in this frame".
+
+    Sign convention matches the reference (positive pitch = camera looking
+    up, so the horizon projects BELOW the image center): GeoCalib's
+    gravity.rp pitch feeds P2E.Perspective(..., phi) unchanged
+    (inference_dual_p2e.py:270-295).
+    """
+    import cv2
+
+    h, w = frame_u8.shape[:2]
+    gray = cv2.cvtColor(frame_u8, cv2.COLOR_RGB2GRAY)
+    edges = cv2.Canny(gray, 50, 150)
+    lines = cv2.HoughLinesP(edges, 1, np.pi / 180, threshold=40,
+                            minLineLength=max(16, w // 8), maxLineGap=5)
+    if lines is None:
+        return 0.0, 0.0
+    ys, wts = [], []
+    for x1, y1, x2, y2 in np.asarray(lines).reshape(-1, 4):
+        dx, dy = float(x2 - x1), float(y2 - y1)
+        length = float(np.hypot(dx, dy))
+        if length < 1:
+            continue
+        angle = abs(np.degrees(np.arctan2(dy, dx)))
+        angle = min(angle, 180.0 - angle)
+        if angle > 10.0:            # not horizon-like
+            continue
+        ys.append(0.5 * (y1 + y2))
+        wts.append(length * np.cos(np.radians(angle)))
+    if not ys:
+        return 0.0, 0.0
+    ys = np.asarray(ys)
+    wts = np.asarray(wts)
+    # weighted median is robust to off-horizon structure (tables, rooflines)
+    order = np.argsort(ys)
+    csum = np.cumsum(wts[order])
+    y_h = float(ys[order][np.searchsorted(csum, 0.5 * csum[-1])])
+    f = (w / 2.0) / np.tan(np.radians(fov_deg) / 2.0)
+    cy = (h - 1) / 2.0
+    pitch = float(np.degrees(np.arctan2(y_h - cy, f)))
+    # clamp: horizons outside +-45 deg are nearly always misdetections
+    if abs(pitch) > 45.0:
+        return 0.0, 0.0
+    return pitch, float(wts.sum() / (w * 0.5))
+
+
 class PitchEstimator:
     """Pluggable per-frame pitch estimation.
 
     mode:
       "none"      — all zeros (angle_adapt: none)
       "linear_fit"— fit a line through externally provided raw pitches
-      "geocalib" / "perspectivefields" — calls a user-supplied callable
-                    (both estimators are external CUDA model dependencies in
-                    the reference — GeoCalib via pip, PerspectiveFields via a
-                    module that is absent from the reference repo, see
-                    inference_dual_p2e.py:391-398; here each is an injection
-                    point: fn(frame_u8) -> pitch_degrees)
+      "geocalib" / "perspectivefields" — per-frame estimator + linear fit
+                    over frame index (reference inference_dual_p2e.py:
+                    256-307). The reference calls external CUDA models
+                    (GeoCalib via pip; PerspectiveFields via a module absent
+                    from its repo). Here a user callable
+                    fn(frame_u8) -> pitch_degrees may be injected; without
+                    one, the self-contained horizon estimator
+                    (estimate_pitch_horizon) runs, so the reference default
+                    config works out of the box.
     """
 
     def __init__(self, mode: str = "linear_fit",
@@ -52,11 +130,12 @@ class PitchEstimator:
         if self.mode == "none":
             return np.zeros((n,), np.float32)
         if self.mode in ("geocalib", "perspectivefields"):
-            if self.estimator is None:
-                raise ValueError(f"{self.mode} mode needs an estimator "
-                                 "callable")
-            raw = [float(self.estimator(f)) for f in frames_u8]
-            return linear_fit_pitch(raw)
+            if self.estimator is not None:
+                raw = [float(self.estimator(f)) for f in frames_u8]
+                return linear_fit_pitch(raw)
+            est = [estimate_pitch_horizon(f) for f in frames_u8]
+            return weighted_linear_fit_pitch([p for p, _ in est],
+                                             [w for _, w in est])
         if raw_pitches is None:
             return np.zeros((n,), np.float32)
         return linear_fit_pitch(raw_pitches)

@@ -56,7 +56,7 @@ class PipelineModules:
 
 class Imagine360Pipeline:
     def __init__(self, modules: PipelineModules, run_cfg: RunConfig,
-                 dual_cfg: DualUNetConfig):
+                 dual_cfg: DualUNetConfig, mesh=None):
         self.m = modules
         self.cfg = run_cfg
         self.dual_cfg = dual_cfg
@@ -74,7 +74,25 @@ class Imagine360Pipeline:
             (self.pers_size // 8, self.pers_size // 8),
             (run_cfg.pano_H // 8, run_cfg.pano_W // 8))
         self.pitch = PitchEstimator(mode=run_cfg.angle_adapt)
-        self._denoise = self.sampler.jit_denoise()
+        # multi-chip: the denoise scan is traced with the mesh active so the
+        # shard_views/shard_frames constraints in DualUNet become real GSPMD
+        # shardings over ICI (SURVEY §2.4 — the reference has no distributed
+        # backend to port; inference_dual_p2e.py:17-19 is dead code)
+        if mesh is None and run_cfg.use_mesh != "off":
+            n = len(jax.devices())
+            if run_cfg.use_mesh == "on" or n > 1:
+                from ..parallel.mesh import make_mesh
+                mesh = make_mesh(replicas=run_cfg.mesh_replicas)
+        self.mesh = mesh
+        self._denoise = self.sampler.jit_denoise(mesh=mesh)
+
+        from ..parallel.mesh import activate_mesh
+
+        def _ip(p, rp, ra, r, pt):
+            with activate_mesh(self.mesh):
+                return self.sampler.compute_ip(p, rp, ra, r, pt)
+
+        self._compute_ip = jax.jit(_ip)
 
     # ---- text ------------------------------------------------------------
 
@@ -169,22 +187,61 @@ class Imagine360Pipeline:
                 [jnp.repeat(feats_pers[None], M, axis=0),
                  jnp.repeat(feats_pers[None], M, axis=0)], axis=0)
 
-        # 3. VAE-encode masked pixels
+        views_bfhwc = np.transpose(views, (0, 1, 3, 4, 2))
+        vmasks_bfhwc = np.transpose(vmasks, (0, 1, 3, 4, 2))
+        video, _ = self.generate_core(
+            pano_frames, pano_masks, views_bfhwc, vmasks_bfhwc,
+            pano_text, pers_text, ref_pano, ref_pers,
+            jnp.asarray(anchor["relative_position"]),
+            jnp.asarray(anchor["pitch"]), rng, timer=timer)
+
+        return {
+            "videos": video,
+            "pano_input": from_model_range(pano_frames),
+            "masks": pano_masks,
+            "pitches": pitches,
+        }
+
+    def generate_core(self, pano_frames, pano_masks, views_bfhwc,
+                      vmasks_bfhwc, pano_text, pers_text, ref_pano, ref_pers,
+                      rel_pos, pitch, rng, init_noise=None,
+                      deterministic_vae=False, timer=None):
+        """Device-side generation given prepared conditioning — the exact
+        counterpart of the reference AnimationPipeline.__call__ body
+        (pipeline_animation_inference_dual.py:631-824): masked-latent VAE
+        encodes, shared-noise init, CFG dual denoise scan, circular-pad
+        decode. Exposed separately so the full-pipeline golden test can
+        drive it with reference-matched inputs.
+
+        pano_frames [F,H,W,3] in [-1,1]; pano_masks [F,H,W,1] in {0,1};
+        views_bfhwc [F,M,ps,ps,3]; vmasks_bfhwc [F,M,ps,ps,1];
+        rel_pos [F,6]; pitch [F]. init_noise optionally pins
+        (pano_noise [1,F,h,w,4], pers_noise [1,M,F,ph,pw,4]) — the analogue
+        of the reference's `latents` argument. Returns (video [F,H,W,3] in
+        [0,1], final pano latents)."""
+        cfg = self.cfg
+        if timer is None:
+            timer = StageTimer(log)
+        F = pano_frames.shape[0]
+        M = views_bfhwc.shape[1]
+        H, W = cfg.pano_H, cfg.pano_W
+        ps = self.pers_size
+
+        # 3. VAE-encode masked pixels (reference pipeline:631-648)
         with timer("vae encode"):
             rng, k1, k2 = jax.random.split(rng, 3)
             pano_masked_px = pano_frames * (pano_masks < 0.5)
             pano_masked_lat = prepare_masked_latents(
                 self.m.vae, self.m.vae_params,
-                jnp.asarray(pano_masked_px), k1)          # [F, H/8, W/8, 4]
-            views_bfhwc = np.transpose(views, (0, 1, 3, 4, 2))
-            vmasks_bfhwc = np.transpose(vmasks, (0, 1, 3, 4, 2))
+                jnp.asarray(pano_masked_px), k1,
+                deterministic=deterministic_vae)          # [F, H/8, W/8, 4]
             pers_masked_px = views_bfhwc * (vmasks_bfhwc < 0.5)
             n_pers = F * M
             chunk = n_pers // 4 if n_pers % 4 == 0 else None
             pers_masked_lat = prepare_masked_latents(
                 self.m.vae, self.m.vae_params,
                 jnp.asarray(pers_masked_px.reshape(n_pers, ps, ps, 3)), k2,
-                chunk=chunk)
+                chunk=chunk, deterministic=deterministic_vae)
             pers_masked_lat = pers_masked_lat.reshape(F, M, ps // 8, ps // 8, 4)
 
             pano_mask_lat = downsample_mask_nearest(jnp.asarray(pano_masks))
@@ -193,17 +250,20 @@ class Imagine360Pipeline:
         # 4. shared-noise init + denoise scan
         with timer("denoise"):
             rng, kn, kd = jax.random.split(rng, 3)
-            pano_lat0, pers_lat0 = init_shared_noise(
-                kn, 1, F, (H // 8, W // 8), (ps // 8, ps // 8), self.rig)
-            rel = jnp.asarray(anchor["relative_position"])[None]
+            if init_noise is None:
+                pano_lat0, pers_lat0 = init_shared_noise(
+                    kn, 1, F, (H // 8, W // 8), (ps // 8, ps // 8), self.rig)
+            else:
+                pano_lat0, pers_lat0 = init_noise
+            rel = jnp.asarray(rel_pos)[None]
             rel = jnp.concatenate([rel, rel], axis=0)
-            pit = jnp.asarray(anchor["pitch"])[None]
+            pit = jnp.asarray(pitch)[None]
             pit = jnp.concatenate([pit, pit], axis=0)
             fps = jnp.full((2,), float(cfg.fps))
 
             # IP tokens in a separate jit: the SAM feature tensors would
             # otherwise stay HBM-resident across the whole denoise scan
-            ip_pers, ip_pano = jax.jit(self.sampler.compute_ip)(
+            ip_pers, ip_pano = self._compute_ip(
                 self.m.dual_params, ref_pers, ref_pano, rel, pit)
             pano_lat, pers_lat = self._denoise(
                 self.m.dual_params, kd,
@@ -234,10 +294,4 @@ class Imagine360Pipeline:
                                        method=self.m.vae.decode)
             dec = dec[..., 32:-32, :]
             video = from_model_range(np.asarray(dec, np.float32))
-
-        return {
-            "videos": video,
-            "pano_input": from_model_range(pano_frames),
-            "masks": pano_masks,
-            "pitches": pitches,
-        }
+        return video, pano_lat

@@ -211,7 +211,20 @@ class DualDiffusionSampler:
             step, (pano_latent, pers_latent, x0p_pano, x0p_pers), xs)[0]
         return pano_lat, pers_lat
 
-    def jit_denoise(self, donate=True):
-        """jit-compiled denoise with latent donation."""
-        fn = functools.partial(self.denoise)
+    def jit_denoise(self, donate=True, mesh=None):
+        """jit-compiled denoise with latent donation.
+
+        With `mesh` (jax.sharding.Mesh over ('view',) or
+        ('replica','view')), the scan is traced with the mesh active so the
+        shard_views/shard_frames constraints inside DualUNet become real
+        GSPMD shardings: the folded CFGxviews perspective batch and the pano
+        frame axis distribute over ICI-connected chips, and the WarpAttn
+        all-gathers ride ICI (SURVEY §2.4 — a new first-class component; the
+        reference has no distributed backend)."""
+        from ..parallel.mesh import activate_mesh
+
+        def fn(*args, **kw):
+            with activate_mesh(mesh):
+                return self.denoise(*args, **kw)
+
         return jax.jit(fn, donate_argnums=(2, 3) if donate else ())

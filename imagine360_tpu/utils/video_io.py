@@ -16,12 +16,16 @@ def read_video(path: str, num_frames: Optional[int] = None) -> np.ndarray:
     if path.endswith(".npy"):
         frames = np.load(path)
     else:
-        import imageio.v3 as iio
-        try:
-            frames = iio.imread(path, plugin="pyav") if path.endswith(
-                (".mp4", ".mov", ".webm")) else iio.imread(path)
-        except Exception:
-            frames = iio.imread(path)
+        frames = None
+        if path.endswith((".mp4", ".mov", ".webm", ".avi")):
+            frames = _read_video_cv2(path)
+        if frames is None:
+            import imageio.v3 as iio
+            try:
+                frames = iio.imread(path, plugin="pyav") if path.endswith(
+                    (".mp4", ".mov", ".webm")) else iio.imread(path)
+            except Exception:
+                frames = iio.imread(path)
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[None]
@@ -35,6 +39,25 @@ def read_video(path: str, num_frames: Optional[int] = None) -> np.ndarray:
     return frames[..., :3]
 
 
+def _read_video_cv2(path: str):
+    """OpenCV decode fallback (this image ships no ffmpeg/pyav/decord;
+    cv2's bundled codecs handle the reference example MP4s). Returns
+    [F, H, W, 3] RGB uint8 or None."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    return np.stack(frames) if frames else None
+
+
 def save_video(frames: np.ndarray, path: str, fps: int = 8):
     """frames [F, H, W, 3] float in [0, 1] or uint8 -> mp4
     (reference save_videos_grid, animatediff/utils/util.py:55-72)."""
@@ -45,12 +68,29 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8):
         frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
     try:
         imageio.mimsave(path, list(frames), fps=fps)
+        return
     except Exception:
-        # fall back to individual PNG frames when no video codec exists
-        base = os.path.splitext(path)[0]
-        os.makedirs(base, exist_ok=True)
-        for i, f in enumerate(frames):
-            imageio.imwrite(os.path.join(base, f"{i:04d}.png"), f)
+        pass
+    if _save_video_cv2(frames, path, fps):
+        return
+    # fall back to individual PNG frames when no video codec exists
+    base = os.path.splitext(path)[0]
+    os.makedirs(base, exist_ok=True)
+    for i, f in enumerate(frames):
+        imageio.imwrite(os.path.join(base, f"{i:04d}.png"), f)
+
+
+def _save_video_cv2(frames: np.ndarray, path: str, fps: int) -> bool:
+    import cv2
+
+    h, w = frames.shape[1:3]
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not vw.isOpened():
+        return False
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+    return os.path.exists(path) and os.path.getsize(path) > 0
 
 
 def to_model_range(frames_u8: np.ndarray) -> np.ndarray:
