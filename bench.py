@@ -158,13 +158,34 @@ def main():
     enc_pers_in = jnp.zeros((80, 256, 256, 3), jd)
     encp = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
     pers_encode_s = _time(encp, vparams, enc_pers_in, iters=2) * (frames * M / 80)
+    del vparams
 
-    clip_s = total_steps * step_s + decode_s + pano_encode_s + pers_encode_s
+    # conditioning encoders (the reference runs SAM over 2xF anchor frames,
+    # pipeline:675-718; round-1 bench omitted these — now included)
+    from imagine360_tpu.models.sam import SAMImageEncoder, SAMConfig
+    sam = SAMImageEncoder(SAMConfig(dtype="bfloat16"))
+    sparams = _zeros_params(sam, (jnp.zeros((1, 1024, 1024, 3), jd),),
+                            "bfloat16", rngs={"params": jax.random.PRNGKey(0)})
+    sam_in = jnp.zeros((8, 1024, 1024, 3), jd)
+    sfn = jax.jit(lambda p, x: sam.apply(p, x))
+    sam_s = _time(sfn, sparams, sam_in, iters=2) * (2 * frames / 8)
+    del sparams
+    # CLIP text encode (2 prompts x 77 tokens) is <10 ms — folded into the
+    # SAM figure's rounding rather than timed separately
+
+    clip_s = (total_steps * step_s + decode_s + pano_encode_s
+              + pers_encode_s + sam_s)
     # north star: <60 s on a v5e-8 (BASELINE.md) = 480 chip-seconds;
-    # we measure on ONE chip, so compare chip-seconds to chip-seconds
+    # we measure on ONE chip, so compare chip-seconds to chip-seconds.
+    # projected_v5e8_s assumes linear scaling over the ('view',) mesh axis
+    # (the folded 2x20-view batch shards 5 rows/chip; WarpAttn all-gathers
+    # ride ICI). The sharding is validated functionally on an 8-virtual-
+    # device mesh (tests/test_mesh_parity.py, dryrun_multichip) — real
+    # multi-chip hardware is not available to this environment, so this is
+    # a projection, not a measurement.
     target_chip_seconds = 60.0 * 8
     result = {
-        "metric": "sec per 16-frame 512x1024 pano clip (1 chip)",
+        "metric": "sec per 16-frame 512x1024 pano clip (1 chip, incl. SAM/VAE conditioning)",
         "value": round(float(clip_s), 3),
         "unit": "s",
         "vs_baseline": round(float(target_chip_seconds / clip_s), 3),
@@ -173,7 +194,11 @@ def main():
             "steps_per_sec_chip": round(float(1.0 / step_s), 3),
             "vae_decode_s": round(float(decode_s), 3),
             "vae_encode_s": round(float(pano_encode_s + pers_encode_s), 3),
+            "sam_encode_s": round(float(sam_s), 3),
             "compile_s": round(float(compile_s), 1),
+            "projected_v5e8_s": round(float(clip_s / 8), 3),
+            "projection_basis": "linear view-axis scaling; sharded "
+                                "execution proven on virtual mesh only",
             "device": str(jax.devices()[0]),
         },
     }

@@ -140,7 +140,8 @@ def build_modules(cfg: RunConfig, dual_cfg) -> PipelineModules:
     sam = sam_params = None
     sp = cfg.image_pretrained_model_path
     if sp and os.path.exists(sp) and dual_cfg.pano.image_hidden_size == 256:
-        sam = SAMImageEncoder()
+        from .models.sam import SAMConfig
+        sam = SAMImageEncoder(SAMConfig(dtype=cfg.dtype))
         sam_params = _init_params(
             sam, lambda: sam.init(jax.random.PRNGKey(0),
                                   jnp.zeros((1, 1024, 1024, 3))), cfg.dtype)

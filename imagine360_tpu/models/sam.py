@@ -32,6 +32,11 @@ class SAMConfig:
     out_chans: int = 256
     window_size: int = 14
     global_attn_indexes: tuple = (2, 5, 8, 11)
+    # global-attention query-row chunking: the 64x64 token grid would
+    # otherwise materialize [B*12, 4096, 4096] logits (24 GB at B=8 f32 —
+    # OOMs a v5e chip). Chunks of `global_q_rows` grid rows bound the live
+    # logits to [B*12, rows*64, 4096]; numerics identical. 0 disables.
+    global_q_rows: int = 8
     dtype: str = "float32"
 
     @property
@@ -52,21 +57,6 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     return rel_pos[rel.astype(jnp.int32)]
 
 
-def _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_hw, k_hw):
-    """attn [B*, qh*qw, kh*kw] += decomposed rel-pos terms."""
-    qh, qw = q_hw
-    kh, kw = k_hw
-    Rh = _get_rel_pos(qh, kh, rel_pos_h)  # [qh, kh, d]
-    Rw = _get_rel_pos(qw, kw, rel_pos_w)
-    B = q.shape[0]
-    r_q = q.reshape(B, qh, qw, -1)
-    rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh)
-    rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw)
-    attn = attn.reshape(B, qh, qw, kh, kw)
-    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
-    return attn.reshape(B, qh * qw, kh * kw)
-
-
 class SAMAttention(nn.Module):
     cfg: SAMConfig
 
@@ -81,15 +71,38 @@ class SAMAttention(nn.Module):
         qkv = qkv.reshape(B, H * W, 3, nh, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, B * nh, H * W, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q * hd ** -0.5) @ k.transpose(0, 2, 1)
         rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * hw - 1, hd))
         rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * hw - 1, hd))
-        attn = _add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w,
-                                       (H, W), (H, W))
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = (attn @ v).reshape(B, nh, H * W, hd)
+        Rh = _get_rel_pos(H, H, rel_pos_h).astype(q.dtype)   # [H, H, d]
+        Rw = _get_rel_pos(W, W, rel_pos_w).astype(q.dtype)   # [W, W, d]
+        scale = hd ** -0.5
+        BH = q.shape[0]
+
+        def attend(qr, Rhr):
+            """qr [BH, rows, W, d], Rhr [rows, H, d] -> [BH, rows, W, d]."""
+            rows = qr.shape[1]
+            logits = jnp.einsum("brwd,bkd->brwk", qr * scale, k)
+            rel_h = jnp.einsum("brwd,rkd->brwk", qr, Rhr)     # [BH,r,W,H]
+            rel_w = jnp.einsum("brwd,wkd->brwk", qr, Rw)      # [BH,r,W,W]
+            logits = (logits.reshape(BH, rows, W, H, W)
+                      + rel_h[:, :, :, :, None]
+                      + rel_w[:, :, :, None, :]).reshape(BH, rows, W, H * W)
+            p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            return jnp.einsum("brwk,bkd->brwd", p.astype(v.dtype), v)
+
+        q4 = q.reshape(BH, H, W, hd)
+        ch = c.global_q_rows
+        if ch and H > ch and H % ch == 0:
+            # scan over query-row chunks: live logits stay
+            # [BH, ch, W, H*W] instead of [BH, H*W, H*W]
+            qc = q4.reshape(BH, H // ch, ch, W, hd).transpose(1, 0, 2, 3, 4)
+            Rc = Rh.reshape(H // ch, ch, H, hd)
+            out = jax.lax.map(lambda args: attend(*args), (qc, Rc))
+            out = out.transpose(1, 0, 2, 3, 4).reshape(B, nh, H * W, hd)
+        else:
+            out = attend(q4, Rh).reshape(B, nh, H * W, hd)
         out = out.transpose(0, 2, 1, 3).reshape(B, H, W, C)
         return nn.Dense(C, dtype=c.jdtype, name="proj")(out)
 

@@ -43,15 +43,16 @@ class VAEConfig:
 class VAEResnetBlock(nn.Module):
     out_channels: int
     dtype: Dtype = jnp.float32
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
-        h = _FastGN(32, 1e-6, name="norm1")(x)
+        h = _FastGN(self.groups, 1e-6, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = _FastGN(32, 1e-6, name="norm2")(h)
+        h = _FastGN(self.groups, 1e-6, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -66,11 +67,12 @@ class VAEAttention(nn.Module):
     mid-block Attention)."""
     channels: int
     dtype: Dtype = jnp.float32
+    groups: int = 32
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = _FastGN(32, 1e-6, name="group_norm")(x)
+        h = _FastGN(self.groups, 1e-6, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -91,7 +93,7 @@ class Encoder(nn.Module):
                     dtype=c.jdtype, name="conv_in")(x)
         for i, ch in enumerate(c.block_out_channels):
             for j in range(c.layers_per_block):
-                h = VAEResnetBlock(ch, c.jdtype,
+                h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
                                    name=f"down_blocks_{i}_resnets_{j}")(h)
             if i < len(c.block_out_channels) - 1:
                 # diffusers Downsample2D: asymmetric (0,1) pad + stride-2 conv
@@ -100,10 +102,13 @@ class Encoder(nn.Module):
                             dtype=c.jdtype,
                             name=f"down_blocks_{i}_downsamplers_0_conv")(h)
         ch = c.block_out_channels[-1]
-        h = VAEResnetBlock(ch, c.jdtype, name="mid_block_resnets_0")(h)
-        h = VAEAttention(ch, c.jdtype, name="mid_block_attentions_0")(h)
-        h = VAEResnetBlock(ch, c.jdtype, name="mid_block_resnets_1")(h)
-        h = _FastGN(32, 1e-6, name="conv_norm_out")(h)
+        h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
+                           name="mid_block_resnets_0")(h)
+        h = VAEAttention(ch, c.jdtype, c.norm_num_groups,
+                         name="mid_block_attentions_0")(h)
+        h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
+                           name="mid_block_resnets_1")(h)
+        h = _FastGN(c.norm_num_groups, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), padding=1,
                        dtype=c.jdtype, name="conv_out")(h)
@@ -117,19 +122,22 @@ class Decoder(nn.Module):
         c = self.cfg
         ch = c.block_out_channels[-1]
         h = nn.Conv(ch, (3, 3), padding=1, dtype=c.jdtype, name="conv_in")(z)
-        h = VAEResnetBlock(ch, c.jdtype, name="mid_block_resnets_0")(h)
-        h = VAEAttention(ch, c.jdtype, name="mid_block_attentions_0")(h)
-        h = VAEResnetBlock(ch, c.jdtype, name="mid_block_resnets_1")(h)
+        h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
+                           name="mid_block_resnets_0")(h)
+        h = VAEAttention(ch, c.jdtype, c.norm_num_groups,
+                         name="mid_block_attentions_0")(h)
+        h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
+                           name="mid_block_resnets_1")(h)
         rev = list(reversed(c.block_out_channels))
         for i, ch in enumerate(rev):
             for j in range(c.layers_per_block + 1):
-                h = VAEResnetBlock(ch, c.jdtype,
+                h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
                                    name=f"up_blocks_{i}_resnets_{j}")(h)
             if i < len(rev) - 1:
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=c.jdtype,
                             name=f"up_blocks_{i}_upsamplers_0_conv")(h)
-        h = _FastGN(32, 1e-6, name="conv_norm_out")(h)
+        h = _FastGN(c.norm_num_groups, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(c.out_channels, (3, 3), padding=1, dtype=c.jdtype,
                        name="conv_out")(h)

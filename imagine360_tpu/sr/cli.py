@@ -1,13 +1,16 @@
 """SR command line (reference sr/enhance_a_video.py:128-170):
 `python -m imagine360_tpu.sr.cli --input out.mp4 --output out_2k.mp4`.
 
-Uses the pano UNet branch as the refiner by default (pluggable); runs the
-360 close-loop pipeline: circular pad -> noise-aug -> DPM++ refinement ->
-tiled decode -> wavelet color fix.
+Uses the pano UNet branch as the refiner engine by default (sr/refiner.py;
+the reference refines with the external VEnhancer UNet,
+sr/video_to_video_model.py:61-152): circular pad -> noise-aug -> DPM++
+refinement conditioned on the clean upsampled clip -> 360 tiled decode ->
+wavelet color fix.
 """
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import numpy as np
@@ -15,6 +18,7 @@ import numpy as np
 from ..utils.video_io import read_video, save_video
 from ..utils.observability import get_logger
 from .enhance import Video360Enhancer, EnhancerConfig
+from .refiner import PanoRefiner, PanoRefinerConfig
 
 log = get_logger("sr")
 
@@ -27,28 +31,80 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=15)
     ap.add_argument("--noise-aug", type=int, default=250)
     ap.add_argument("--solver", choices=["sde", "ode"], default="sde")
+    ap.add_argument("--guidance", type=float, default=7.5)
     ap.add_argument("--fps", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--pano-unet-ckpt", default=None,
+                    help="reference-format pano UNet ckpt for the refiner")
+    ap.add_argument("--vae-path", default=None,
+                    help="SD VAE dir or safetensors file")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny architecture (CPU smoke runs)")
+    ap.add_argument("--platform", default=None,
+                    choices=("cpu", "tpu", "axon"))
     args = ap.parse_args(argv)
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        jax.config.update("jax_platforms", args.platform)
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     frames = read_video(args.input).astype(np.float32) / 255.0
     log.info("input %s frames %s", args.input, frames.shape)
 
     import jax.numpy as jnp
     from ..models.vae import AutoencoderKL, VAEConfig
+    from ..models.unet3d import UNet3DConditionModel
+    from ..presets import full_unet_config, tiny_unet_config
+    from .. import cli as main_cli
 
-    vae = AutoencoderKL(VAEConfig(dtype="bfloat16"))
-    vae_params = vae.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, 64, 64, 3)), jax.random.PRNGKey(1))
+    dtype = "float32" if args.tiny else "bfloat16"
+    vae = AutoencoderKL(VAEConfig(dtype=dtype))
+    vae_params = main_cli._init_params(
+        vae, lambda: vae.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 64, 64, 3)),
+                              jax.random.PRNGKey(1)), dtype)
+    if args.vae_path and os.path.exists(args.vae_path):
+        from ..utils.convert import convert_vae_state_dict, apply_converted
+        from ..utils import checkpoints as ckpt
+        path = args.vae_path
+        if os.path.isdir(path):
+            for cand in ("diffusion_pytorch_model.safetensors",
+                         "diffusion_pytorch_model.bin"):
+                p = os.path.join(path, cand)
+                if os.path.exists(p):
+                    path = p
+                    break
+        vae_params, _, _ = apply_converted(
+            vae_params, convert_vae_state_dict(ckpt.load_state_dict(path)))
+        log.info("loaded VAE weights from %s", path)
 
-    def zero_denoiser(z, t, rng):
-        # placeholder refiner (identity denoise); swap in a loaded pano UNet
-        # branch via Video360Enhancer(denoise_fn=...) for real runs
-        return jnp.zeros_like(z)
+    ucfg = tiny_unet_config(dtype) if args.tiny else full_unet_config(dtype)
+    unet = UNet3DConditionModel(ucfg)
+    F = min(8, frames.shape[0])
+    unet_params = main_cli._init_params(
+        unet, lambda: unet.init(
+            {"params": jax.random.PRNGKey(0),
+             "ip_noise": jax.random.PRNGKey(1)},
+            jnp.zeros((1, F, 16, 32, 9)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, ucfg.cross_attention_dim)),
+            jnp.zeros((1,))), dtype)
+    if args.pano_unet_ckpt and os.path.exists(args.pano_unet_ckpt):
+        from ..utils import checkpoints as ckpt
+        unet_params, missing, unexpected = ckpt.load_unet_branch(
+            unet_params, args.pano_unet_ckpt)
+        log.info("refiner ckpt: %d missing, %d unexpected",
+                 len(missing), len(unexpected))
+    else:
+        log.warning("no refiner checkpoint — zero-init dev mode")
 
+    refiner = PanoRefiner(unet, unet_params,
+                          cfg=PanoRefinerConfig(
+                              guidance_scale=args.guidance, fps=args.fps))
     cfg = EnhancerConfig(up_scale=args.up_scale, num_steps=args.steps,
                          noise_aug=args.noise_aug, solver_mode=args.solver)
-    enhancer = Video360Enhancer(zero_denoiser, vae, vae_params, cfg)
+    enhancer = Video360Enhancer(refiner, vae, vae_params, cfg)
     out = enhancer(frames, jax.random.PRNGKey(args.seed))
     save_video(out, args.output, args.fps)
     log.info("saved %s %s", args.output, out.shape)

@@ -41,7 +41,12 @@ class EnhancerConfig:
 class Video360Enhancer:
     def __init__(self, denoise_fn: Callable, vae, vae_params,
                  cfg: EnhancerConfig = EnhancerConfig()):
-        """denoise_fn(latents [F,h,w,4], t [1], rng) -> model prediction."""
+        """denoise_fn(latents [F,h,w,4], t [1], rng) -> model prediction.
+
+        A refiner object exposing .prepare(clean_latents) -> fn (e.g.
+        sr/refiner.py PanoRefiner) may be passed instead of a bare fn: the
+        clean latents of the upsampled source clip are handed to prepare()
+        before noise augmentation, so the refiner can condition on them."""
         self.denoise_fn = denoise_fn
         self.vae = vae
         self.vae_params = vae_params
@@ -76,6 +81,11 @@ class Video360Enhancer:
         rng, k_enc, k_aug = jax.random.split(rng, 3)
         z = self._vae_encode(x, k_enc)
 
+        # conditioned refiners receive the clean latents before noise-aug
+        denoise_fn = self.denoise_fn
+        if hasattr(denoise_fn, "prepare"):
+            denoise_fn = denoise_fn.prepare(z)
+
         # noise augmentation to t = noise_aug
         from ..diffusion.ddim import make_ddim_schedule
         base = make_ddim_schedule(num_inference_steps=cfg.num_steps)
@@ -92,7 +102,7 @@ class Video360Enhancer:
         x0_prev = jnp.zeros_like(z)
         for i in range(start, cfg.num_steps):
             rng, k_m, k_n = jax.random.split(rng, 3)
-            pred = self.denoise_fn(z, coeffs["timestep"][i][None], k_m)
+            pred = denoise_fn(z, coeffs["timestep"][i][None], k_m)
             noise = (jax.random.normal(k_n, z.shape)
                      if cfg.solver_mode == "sde" else None)
             z, x0_prev = dpmpp_2m_step(z, pred, i, coeffs, x0_prev,

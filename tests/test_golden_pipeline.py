@@ -32,7 +32,8 @@ from test_golden_unet import TINY_TORCH_KWARGS, _tiny_jax_config, \
     enable_stub_xformers
 
 M = 2
-F = 8            # SAM chunking in the reference asserts F % 8 == 0
+F = 16           # SAM chunking asserts F % 8 == 0; the temporal projection
+                 # (resampler.py:264 avg_pool) needs >= 16 frames
 PANO_H, PANO_W = 256, 512
 PERS = 128       # = PANO_H // 2, reference inference_dual_p2e.py:528
 EH, EW = PANO_H // 8, PANO_W // 8
@@ -117,8 +118,13 @@ def test_full_pipeline_golden(monkeypatch):
                         lambda self, generator=None: self.mode())
 
     torch.manual_seed(0)
-    pers_unet = TorchUNet(**TINY_TORCH_KWARGS)
-    pano_unet = TorchUNet(**TINY_TORCH_KWARGS)
+    # sample_size must be set: AnimationPipeline.__init__ compares it to 64
+    # (pipeline_animation_inference_dual.py:114). num_tokens must be >= F
+    # (the rel-pos adapter pads one-emb-per-frame up to the ip token count,
+    # MVGenModel.py:218-221) — use the production 64.
+    kwargs = dict(TINY_TORCH_KWARGS, sample_size=64, num_tokens=64)
+    pers_unet = TorchUNet(**kwargs)
+    pano_unet = TorchUNet(**kwargs)
     tm = ref_mv.MultiViewBaseModel(pers_unet, pano_unet, pano_pad=True)
     tm.eval()
     enable_stub_xformers(tm)
@@ -172,7 +178,7 @@ def test_full_pipeline_golden(monkeypatch):
                       -1, 1).astype(np.float32)
     pers_masks = (rng.uniform(size=(1, F, M, 1, PERS, PERS)) > 0.5
                   ).astype(np.float32)
-    anchor_px = np.clip(rng.normal(size=(1, 8, 3, 64, 64)), -1, 1
+    anchor_px = np.clip(rng.normal(size=(1, F, 3, 64, 64)), -1, 1
                         ).astype(np.float32)
     rel_pos = (np.abs(rng.normal(size=(F, 6))) * 20).astype(np.float32)
     pitches = (rng.normal(size=(F,)) * 5).astype(np.float32)
@@ -232,8 +238,9 @@ def test_full_pipeline_golden(monkeypatch):
                         guidance_scale=GUIDANCE, antipodal_prob=0.0,
                         angle_adapt="none", use_mesh="off", fps=8,
                         dtype="float32")
-    dual_cfg = DualUNetConfig(pers=_tiny_jax_config(),
-                              pano=_tiny_jax_config(),
+    import dataclasses
+    tiny_cfg = dataclasses.replace(_tiny_jax_config(), num_ip_tokens=64)
+    dual_cfg = DualUNetConfig(pers=tiny_cfg, pano=tiny_cfg,
                               num_views=M, ip_noise_level=0.0)
     jvae = _tiny_jax_vae()
 
@@ -282,8 +289,10 @@ def test_full_pipeline_golden(monkeypatch):
         jnp.repeat(pano_text[:1], M, axis=0),
         jnp.repeat(pano_text[1:], M, axis=0)], axis=0)
 
+    # the stub returns the same 8-frame embedding for each SAM chunk
     feats = np.transpose(fixed_embed.reshape(8, CSAM, DSAM),
-                         (0, 2, 1))                              # [F,4096,C]
+                         (0, 2, 1))
+    feats = np.concatenate([feats] * (F // 8))                   # [F,4096,C]
     # reference duplicates the SAME embeds for both CFG halves
     # (pipeline:696,719-720) and repeats the pers embeds over views
     ref_pano = jnp.asarray(np.stack([feats, feats]))

@@ -22,7 +22,8 @@ from imagine360_tpu.utils.convert import apply_converted
 
 CFG = SAMConfig(img_size=64, patch_size=8, embed_dim=32, depth=3,
                 num_heads=4, mlp_ratio=2.0, out_chans=16, window_size=3,
-                global_attn_indexes=(1,))
+                global_attn_indexes=(1,),
+                global_q_rows=2)  # exercises the query-row-chunked path
 GRID = CFG.img_size // CFG.patch_size  # 8; window 3 forces pad-to-9
 
 

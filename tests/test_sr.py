@@ -134,3 +134,42 @@ def test_enhancer_with_temporal_vae():
     out = enh(frames, jax.random.PRNGKey(1))
     assert out.shape == (3, 32, 64, 3)
     assert np.isfinite(out).all()
+
+
+def test_pano_refiner_engine_end_to_end():
+    """The default SR engine: pano UNet branch as refiner (sr/refiner.py),
+    conditioned on the clean upsampled clip through the 9-channel outpaint
+    interface, driven by Video360Enhancer's noise-aug + DPM++ recipe."""
+    from imagine360_tpu.models.unet3d import UNet3DConditionModel
+    from imagine360_tpu.models.vae import AutoencoderKL, VAEConfig
+    from imagine360_tpu.presets import tiny_unet_config
+    from imagine360_tpu.sr.enhance import Video360Enhancer, EnhancerConfig
+    from imagine360_tpu.sr.refiner import PanoRefiner, PanoRefinerConfig
+
+    F, H, W = 4, 64, 64
+    ucfg = tiny_unet_config()
+    unet = UNet3DConditionModel(ucfg)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "ip_noise": jax.random.PRNGKey(1)}
+    uparams = unet.init(rngs, jnp.zeros((1, F, 16, 24, 9)),
+                        jnp.zeros((1,)), jnp.zeros((1, 7, 32)),
+                        jnp.zeros((1,)))
+    vae = AutoencoderKL(VAEConfig(block_out_channels=(16, 16, 16, 16),
+                                  layers_per_block=1, norm_num_groups=16))
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       jax.random.PRNGKey(1))
+
+    refiner = PanoRefiner(unet, uparams,
+                          text_pos=jnp.zeros((7, 32)),
+                          cfg=PanoRefinerConfig(guidance_scale=3.0))
+    cfg = EnhancerConfig(up_scale=2, num_steps=4, noise_aug=600,
+                         solver_mode="ode", pano_pad_px=32,
+                         chunk_frames=2, tile_hw=(8, 8), color_fix=True)
+    enhancer = Video360Enhancer(refiner, vae, vparams, cfg)
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(0.2, 0.8, size=(F, H, W, 3)).astype(np.float32)
+    out = enhancer(frames, jax.random.PRNGKey(1))
+    assert out.shape == (F, H * 2, W * 2, 3)
+    assert np.isfinite(out).all()
+    assert out.std() > 1e-4

@@ -81,7 +81,8 @@ def test_ssim_harness_end_to_end(tmp_path, monkeypatch):
     paths, lora_base_key = _write_reference_ckpts(str(tmp_path), tm)
 
     from imagine360_tpu.config import RunConfig
-    from imagine360_tpu.presets import tiny_dual_config
+    from imagine360_tpu.models.dual import DualUNetConfig
+    from test_golden_unet import _tiny_jax_config
     from ssim_eval import evaluate
 
     cfg = RunConfig(
@@ -94,7 +95,9 @@ def test_ssim_harness_end_to_end(tmp_path, monkeypatch):
         perslora_motion_module_path=paths["lora"],
         lora_alpha_pers=0.7,
     )
-    dual_cfg = tiny_dual_config(num_views=4)
+    # architecture must match TINY_TORCH_KWARGS (the ckpts' shapes)
+    dual_cfg = DualUNetConfig(pers=_tiny_jax_config(),
+                              pano=_tiny_jax_config(), num_views=4)
 
     # conversion plumbing check: the LoRA delta must land in the loaded tree
     from imagine360_tpu.cli import build_modules
@@ -105,6 +108,7 @@ def test_ssim_harness_end_to_end(tmp_path, monkeypatch):
     flat_base = convert_state_dict(
         {"unet." + lora_base_key: tm.state_dict()["unet." + lora_base_key]})
     (conv_key, base_arr), = flat_base.items()
+    conv_key = "params." + conv_key
     assert conv_key in flat_loaded, conv_key
     delta = np.abs(flat_loaded[conv_key] - base_arr).max()
     assert delta > 1e-6, "motion LoRA was not merged into the loaded weights"
