@@ -278,6 +278,47 @@ class IPCrossAttention(nn.Module):
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 
+class MMDense(nn.Dense):
+    """nn.Dense whose matmul runs through the pallas dense kernel on TPU.
+
+    Countermeasure to the token-minor layout assignment that turns the
+    transformer proj_in/proj_out dots inside the full dual model into
+    window=B correlation lowerings at ~48 TF/s (STATUS.md; the pallas call
+    pins row-major operands — see ops/pallas_dense.py). Param tree is
+    byte-identical to nn.Dense, so checkpoints are unaffected.
+
+    OPT-IN via I360_PALLAS_DENSE=1: standalone the pallas kernel is ~par
+    with XLA's dot (faster at 640x640, slower at 320x320 where the 2.5-tile
+    lane pad bites); it can only win inside the full model where the layout
+    pathology appears, and that in-model measurement is still pending (the
+    tunneled TPU worker has been crashing on long scans). Off-TPU and by
+    default this IS nn.Dense.
+    """
+
+    def __call__(self, inputs):
+        import os
+        import numpy as np
+        from ..ops.attention import _on_tpu
+        from ..ops.pallas_dense import dense_matmul, supported
+        n = int(np.prod(inputs.shape[:-1]))
+        use = (os.environ.get("I360_PALLAS_DENSE", "0") == "1"
+               and _on_tpu()
+               and supported(n, inputs.shape[-1], self.features))
+        if not use:
+            return super().__call__(inputs)
+        kernel = self.param("kernel", self.kernel_init,
+                            (inputs.shape[-1], self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        inputs, kernel, bias = nn.dtypes.promote_dtype(
+            inputs, kernel, bias, dtype=self.dtype)
+        y = dense_matmul(inputs, kernel)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
 def flat2d(fn, x):
     """Apply a per-token fn on tokens flattened to [N, C] (opt-in via
     I360_FLAT_DENSE): reshapes are free only under row-major layouts, so

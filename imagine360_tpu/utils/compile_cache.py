@@ -35,5 +35,12 @@ def enable_compile_cache(path: str | None = None) -> str:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:
         pass
+    try:
+        # log WHY a lookup missed (key mismatch vs absent entry) — the big
+        # denoise executable has been observed to recompile despite a
+        # written entry; this makes the cause visible in bench/driver logs
+        jax.config.update("jax_explain_cache_misses", True)
+    except Exception:
+        pass
     _enabled = True
     return path

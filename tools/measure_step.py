@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, ".")
+from imagine360_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 from __graft_entry__ import _zeros_params
 from imagine360_tpu.presets import full_dual_config
 from imagine360_tpu.models.dual import DualUNet
@@ -53,14 +55,30 @@ def build(num_steps, cfg, params=None, geoms=None, model=None):
             a["ref_pers"], a["ref_pano"], a["rel"], a["pitch"], geoms,
             jnp.zeros((7,), bool))
         params = _zeros_params(model, init_args, "bfloat16")
-    fn = jax.jit(sampler.denoise)
+    # mirror bench.py exactly: IP tokens precomputed in their own jit (the
+    # 1.4 GB SAM feature buffers must NOT stay pinned across the scan —
+    # pinning them OOM-crashed the worker on >5-step scans), and the output
+    # reduced to a scalar on device so the fetch is 4 bytes
+    import numpy as np
+    ip_pers, ip_pano = jax.jit(sampler.compute_ip)(
+        params, a["ref_pers"], a["ref_pano"], a["rel"], a["pitch"])
+    np.asarray((ip_pano if ip_pano is not None else ip_pers)[0, 0, 0])
+    a["ref_pano"] = a["ref_pers"] = None
+
+    base = sampler.denoise
+
+    @jax.jit
+    def fn(params, key):
+        out = base(params, key, a["pano_latent"], a["pers_latent"],
+                   a["pano_mask"], a["pano_masked"], a["pers_mask"],
+                   a["pers_masked"], a["pano_text"], a["pers_text"], geoms,
+                   a["fps"], None, None, a["rel"], a["pitch"],
+                   ip_tokens_pers=ip_pers, ip_tokens_pano=ip_pano)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in out
+                   if o is not None)
 
     def call(key):
-        return fn(params, key, a["pano_latent"], a["pers_latent"],
-                  a["pano_mask"], a["pano_masked"], a["pers_mask"],
-                  a["pers_masked"], a["pano_text"], a["pers_text"], geoms,
-                  a["fps"], a["ref_pano"], a["ref_pers"], a["rel"],
-                  a["pitch"])
+        return fn(params, key)
 
     return call, params, geoms, model
 
@@ -69,24 +87,50 @@ def timed(call, key):
     import numpy as np
     t0 = time.time()
     out = call(key)
-    # fetch a slice to host: unlike block_until_ready (which the tunneled
-    # device reports optimistically), a transfer can't complete early
-    np.asarray(out[0])
+    # fetch to host: unlike block_until_ready (which the tunneled device
+    # reports optimistically), a transfer can't complete early
+    np.asarray(out)
     return time.time() - t0
 
 
-def main():
+def one(num_steps):
+    """Time one scan length; print `t(N)=...`. Run short and long in
+    SEPARATE processes: two resident denoise executables + their buffers
+    exceed v5e HBM (observed ResourceExhausted on the second compile)."""
     cfg = full_dual_config("bfloat16")
-    short, long_ = 5, 25
-    call_s, params, geoms, model = build(short, cfg)
-    timed(call_s, jax.random.PRNGKey(0))  # compile
-    t_s = min(timed(call_s, jax.random.PRNGKey(i)) for i in (1, 2))
-    call_l, *_ = build(long_, cfg, params, geoms, model)
-    timed(call_l, jax.random.PRNGKey(0))  # compile
-    t_l = min(timed(call_l, jax.random.PRNGKey(i)) for i in (1, 2))
-    step = (t_l - t_s) / (long_ - short)
-    print(f"t({short})={t_s:.3f}s t({long_})={t_l:.3f}s -> "
-          f"{step*1000:.1f} ms/step, clip(50)={50*step:.2f}s", flush=True)
+    call, *_ = build(num_steps, cfg)
+    timed(call, jax.random.PRNGKey(0))  # compile
+    t = min(timed(call, jax.random.PRNGKey(i)) for i in (1, 2))
+    print(f"t({num_steps})={t:.3f}s", flush=True)
+    return t
+
+
+def main():
+    import re
+    import subprocess
+    if len(sys.argv) > 1:  # child mode: one length per process
+        one(int(sys.argv[1]))
+        return
+    # single executions that run >~60 s crash the tunneled TPU worker
+    # (25-step scans at ~2.95 s/step died reproducibly with "TPU worker
+    # process crashed"; bench's 10-step scan is fine) — keep the long scan
+    # under ~50 s of device time
+    short, long_ = 4, 16
+    ts = {}
+    for n in (short, long_):
+        proc = subprocess.run(
+            [sys.executable, __file__, str(n)], capture_output=True,
+            text=True)
+        out = proc.stdout
+        m = re.search(rf"t\({n}\)=([\d.]+)s", out)
+        if not m:
+            print(out)
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"no timing for {n}-step run")
+        ts[n] = float(m.group(1))
+        print(out.strip(), flush=True)
+    step = (ts[long_] - ts[short]) / (long_ - short)
+    print(f"-> {step*1000:.1f} ms/step, clip(50)={50*step:.2f}s", flush=True)
 
 
 if __name__ == "__main__":
