@@ -197,8 +197,14 @@ def main():
             "sam_encode_s": round(float(sam_s), 3),
             "compile_s": round(float(compile_s), 1),
             "projected_v5e8_s": round(float(clip_s / 8), 3),
-            "projection_basis": "linear view-axis scaling; sharded "
-                                "execution proven on virtual mesh only",
+            "projection_basis": "near-linear view-axis scaling: XLA's own "
+                                "per-device cost analysis divides step "
+                                "FLOPs 7.83x on an 8-device mesh "
+                                "(scripts/sharded_flops.py; pers batch + "
+                                "pano latent-H sharded); sharded execution "
+                                "proven on virtual mesh "
+                                "(tests/test_mesh_parity.py), real "
+                                "multi-chip hardware unavailable here",
             "device": str(jax.devices()[0]),
         },
     }

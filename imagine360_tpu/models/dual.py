@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..parallel.mesh import shard_views, shard_frames
+from ..parallel.mesh import shard_views, shard_pano
 from .unet3d import UNet3DConfig, UNet3DConditionModel
 from .warp import WarpAttn
 
@@ -166,11 +166,12 @@ class DualUNet(nn.Module):
             return g, use_opp[site_idx]
 
         # 3. stems (sharding: perspective folds over the "view" mesh axis,
-        # pano shards its frame axis — see parallel/mesh.py)
+        # pano shards its latent HEIGHT axis — see parallel/mesh.py
+        # shard_pano for why H, not frames)
         if dual:
             hp = self.unet.stem(shard_views(pers.astype(c.pers.jdtype)))
         ha = self.pano_unet.stem(
-            shard_frames(pano_latent.astype(c.pano.jdtype)), pad=pano_pad)
+            shard_pano(pano_latent.astype(c.pano.jdtype)), pad=pano_pad)
 
         # 4. down (reference MVGenModel.py:256-327)
         if dual:
@@ -186,12 +187,12 @@ class DualUNet(nn.Module):
             skips_a.extend(sa)
             if dual:
                 hp = shard_views(hp)
-            ha = shard_frames(ha)
+            ha = shard_pano(ha)
             if blk_a.add_downsample and dual and not c.disable_warp:
                 g, opp = geom_for(i)
                 hp, ha = self.cp_blocks_encoder[i](hp, ha, g, opp)
                 hp = shard_views(hp)
-                ha = shard_frames(ha)
+                ha = shard_pano(ha)
 
         # 5. mid (reference MVGenModel.py:336-380)
         if dual:
@@ -219,7 +220,7 @@ class DualUNet(nn.Module):
                     hp, ha = self.cp_blocks_decoder[i](hp, ha, g, opp)
                 if dual:
                     hp = self.unet.up_blocks[i].upsample(shard_views(hp))
-                ha = blk_a.upsample(shard_frames(ha), pad=pano_pad)
+                ha = blk_a.upsample(shard_pano(ha), pad=pano_pad)
 
         # 7. heads (reference MVGenModel.py:462-479)
         pers_out = None

@@ -104,6 +104,29 @@ def shard_frames(x):
     return _constrain(x, P(lead, VIEW_AXIS, *([None] * (x.ndim - 2))))
 
 
+def shard_pano(x):
+    """Constrain a 5-D pano activation [B, F, H, W, C] over 'view' on the
+    latent HEIGHT axis (dim 2); the clip axis shards over 'replica'.
+
+    Why H and not F: every pano module folds [B, F, H, W, C] ->
+    [B*F, H, W, C] (InflatedConv/GroupNorm/Transformer3D), and a merge
+    whose *minor* dim carries the sharding is not representable in GSPMD —
+    an F-sharded pano de-shards at the first fold and the spatial ops run
+    ~replicated (measured: per-device FLOPs divided only ~4.8x on an
+    8-device mesh, scripts/sharded_flops.py). H survives every fold as its
+    own dim (and is merge-MAJOR in the [H*W] token flattens), so convs
+    (halo exchange), GroupNorm (psum stats), temporal attention (local)
+    and FF all stay sharded; only spatial attention gathers K/V. The pano
+    wrap-pad touches W only, never H (models/unet3d.py:wpad).
+    """
+    mesh = _ACTIVE_MESH
+    if mesh is None:
+        return x
+    lead = REPLICA_AXIS if REPLICA_AXIS in mesh.shape else None
+    return _constrain(
+        x, P(lead, None, VIEW_AXIS, *([None] * (x.ndim - 3))))
+
+
 def shard_batch(x):
     """Constrain the leading axis over 'replica' only (training batches)."""
     mesh = _ACTIVE_MESH
