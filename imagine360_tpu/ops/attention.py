@@ -394,6 +394,15 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     import os
     no_packed = os.environ.get("I360_DISABLE_PACKED_ATTN")
     on_tpu = _on_tpu()
+    # Under an active device mesh, pallas_call is an opaque custom call
+    # GSPMD cannot partition — it would force replication of the very
+    # tensors the mesh shards. Route to the XLA einsum paths, which GSPMD
+    # partitions cleanly (batch-sharded sites stay local; K/V gathers are
+    # inserted where the sequence axis is sharded). Per-shard pallas
+    # kernels via shard_map are the planned upgrade for real multi-chip.
+    from ..parallel.mesh import current_mesh
+    if current_mesh() is not None:
+        on_tpu = False
     fscale = float(D ** -0.5 if scale is None else scale)
     # huge-batch tiny-sequence sites (motion modules): pack batch elements
     # into 512-token sequences under a block-diagonal bias
