@@ -177,21 +177,30 @@ def _single_block_attention(q, k, v, scale=None, interpret=False):
     return out.reshape(B, Sq, H, D)
 
 
+def _interpret() -> bool:
+    """Interpret-mode pallas (CPU tests of kernel-dispatch paths)."""
+    import os
+    return bool(os.environ.get("I360_PALLAS_INTERPRET"))
+
+
 def _packed_impl(q, k, v, bias, scale):
     del bias
-    out = _packed_tiny_attention(q, k, v, scale=scale)
+    out = _packed_tiny_attention(q, k, v, scale=scale,
+                                 interpret=_interpret())
     assert out is not None
     return out
 
 
 def _single_impl(q, k, v, bias, scale):
     del bias
-    return _single_block_attention(q, k, v, scale=scale)
+    return _single_block_attention(q, k, v, scale=scale,
+                                   interpret=_interpret())
 
 
 def _flash_impl(q, k, v, bias, scale):
     from .pallas_attention import flash_attention
-    return flash_attention(q, k, v, bias=bias, scale=scale)
+    return flash_attention(q, k, v, bias=bias, scale=scale,
+                           interpret=_interpret())
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -380,6 +389,60 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _temporal_reference(q, k, v, heads, fscale)
 
 
+def _sharded_batch_kernel(q, k, v, fscale, mesh, no_packed):
+    """Per-shard pallas kernels under shard_map for no-bias sites on an
+    active mesh: attention is independent per batch row, so batch-sharding
+    q/k/v and running the kernel on each device's local rows is exact (the
+    custom-vjp einsum backward differentiates per shard the same way).
+
+    shard_map forces its in_specs, so sites whose batch axis is already
+    view-sharded (all perspective-branch sites — the folded CFGxviews axis
+    is merge-major through every reshape) run with zero resharding; the
+    pano branch's H-sharded spatial sites pay one all-to-all each way in
+    exchange for keeping kernel throughput. Returns None when no kernel
+    condition holds on the per-shard shapes (caller falls back to the
+    GSPMD-partitioned einsum paths)."""
+    import numpy as np
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import VIEW_AXIS, REPLICA_AXIS
+
+    axes = tuple(a for a in (REPLICA_AXIS, VIEW_AXIS) if a in mesh.shape)
+    n = int(np.prod([mesh.shape[a] for a in axes]))
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if n <= 1 or B % n:
+        return None
+    Bl = B // n
+    skp = -(-Sk // 128) * 128
+    if (Sq <= 64 and Sk <= 64 and Bl >= 1024 and not no_packed
+            and _pack_group(Bl, Sq, Sk) >= 4):
+        impl = _packed_impl
+    elif (Bl >= 16 and Sq % 8 == 0 and Sq * skp <= _SINGLE_BLOCK_LOGITS
+            and not no_packed):
+        impl = _single_impl
+    elif Sq >= 256 and Sk >= 256:
+        impl = _flash_impl
+    else:
+        return None
+    spec = P(axes if len(axes) > 1 else axes[0], None, None, None)
+    body = lambda q_, k_, v_: _kernel_attention(impl, fscale, q_, k_, v_,
+                                                None)  # noqa: E731
+    # replication checking must be off: pallas out_shapes carry no varying
+    # -mesh-axes (vma) annotation (new API: check_vma, old: check_rep)
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+                           out_specs=spec, **kw)
+            break
+        except TypeError:
+            continue
+    return fn(q, k, v)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray | None = None,
                           scale: float | None = None,
@@ -394,16 +457,22 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     import os
     no_packed = os.environ.get("I360_DISABLE_PACKED_ATTN")
     on_tpu = _on_tpu()
+    fscale = float(D ** -0.5 if scale is None else scale)
     # Under an active device mesh, pallas_call is an opaque custom call
     # GSPMD cannot partition — it would force replication of the very
-    # tensors the mesh shards. Route to the XLA einsum paths, which GSPMD
-    # partitions cleanly (batch-sharded sites stay local; K/V gathers are
-    # inserted where the sequence axis is sharded). Per-shard pallas
-    # kernels via shard_map are the planned upgrade for real multi-chip.
+    # tensors the mesh shards. No-bias sites with a mesh-divisible batch
+    # keep kernel throughput via per-shard kernels under shard_map
+    # (_sharded_batch_kernel); everything else routes to the XLA einsum
+    # paths, which GSPMD partitions cleanly (K/V gathers are inserted
+    # where the sequence axis is sharded).
     from ..parallel.mesh import current_mesh
-    if current_mesh() is not None:
+    mesh = current_mesh()
+    if mesh is not None:
+        if on_tpu and bias is None:
+            out = _sharded_batch_kernel(q, k, v, fscale, mesh, no_packed)
+            if out is not None:
+                return out
         on_tpu = False
-    fscale = float(D ** -0.5 if scale is None else scale)
     # huge-batch tiny-sequence sites (motion modules): pack batch elements
     # into 512-token sequences under a block-diagonal bias
     if (on_tpu and bias is None and Sq <= 64 and Sk <= 64 and B >= 1024
