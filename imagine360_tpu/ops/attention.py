@@ -42,6 +42,8 @@ def _on_tpu() -> bool:
     import os
     if os.environ.get("I360_DISABLE_PALLAS"):
         return False
+    if os.environ.get("I360_PALLAS_INTERPRET"):
+        return True  # CPU tests drive the kernel paths in interpret mode
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
@@ -241,12 +243,14 @@ def _flash_attention_trainable(scale, q, k, v, bias):
     builds them from the camera rig alone): its returned gradient is zeros.
     Set I360_EINSUM_BWD=1 to fall back to the einsum-reference backward."""
     from .pallas_attention import flash_attention
-    return flash_attention(q, k, v, bias=bias, scale=scale)
+    return flash_attention(q, k, v, bias=bias, scale=scale,
+                           interpret=_interpret())
 
 
 def _flash_trainable_fwd(scale, q, k, v, bias):
     from .pallas_attention import flash_attention_fwd_res
-    out, lse = flash_attention_fwd_res(q, k, v, bias=bias, scale=scale)
+    out, lse = flash_attention_fwd_res(q, k, v, bias=bias, scale=scale,
+                                       interpret=_interpret())
     return out, (q, k, v, bias, out, lse)
 
 
@@ -254,7 +258,7 @@ def _flash_trainable_bwd(scale, res, g):
     from .pallas_attention import flash_attention_bwd
     q, k, v, bias, out, lse = res
     dq, dk, dv = flash_attention_bwd(q, k, v, bias, out, lse, g,
-                                     scale=scale)
+                                     scale=scale, interpret=_interpret())
     dbias = None if bias is None else jnp.zeros_like(bias)
     return dq, dk, dv, dbias
 
@@ -279,6 +283,7 @@ def _shared_bias_call(q, k, v, bias, scale, with_lse=False, bias_t=None):
     bt = bias_t if bias_t is not None else bias[0, 0].T
     out = _flash_shared_bias_t(qf, kf, vf, bt, scale,
                                t_rows=_SHARED_BIAS_T, with_lse=with_lse,
+                               interpret=_interpret(),
                                **_SHARED_BIAS_BLOCKS)
     if with_lse:
         out, lse = out
@@ -308,7 +313,7 @@ def _shared_trainable_bwd(scale, res, g):
     from .pallas_attention import flash_attention_bwd
     q, k, v, bias, bias_t, out, lse = res
     dq, dk, dv = flash_attention_bwd(q, k, v, bias, out, lse, g,
-                                     scale=scale)
+                                     scale=scale, interpret=_interpret())
     return (dq, dk, dv, jnp.zeros_like(bias),
             None if bias_t is None else jnp.zeros_like(bias_t))
 
@@ -389,58 +394,65 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return _temporal_reference(q, k, v, heads, fscale)
 
 
-def _sharded_batch_kernel(q, k, v, fscale, mesh, no_packed):
-    """Per-shard pallas kernels under shard_map for no-bias sites on an
-    active mesh: attention is independent per batch row, so batch-sharding
-    q/k/v and running the kernel on each device's local rows is exact (the
-    custom-vjp einsum backward differentiates per shard the same way).
+def _sharded_batch_kernel(q, k, v, fscale, mesh, bias=None, bias_t=None):
+    """Per-shard attention under shard_map on an active mesh: attention is
+    independent per batch row, so batch-sharding q/k/v and re-entering the
+    full dispatch (mesh deactivated) on each device's local rows is exact —
+    every pallas path (packed / single-block / flash / shared-bias WarpAttn)
+    engages on the per-shard shapes, and the custom-vjp backwards
+    differentiate per shard identically.
 
     shard_map forces its in_specs, so sites whose batch axis is already
     view-sharded (all perspective-branch sites — the folded CFGxviews axis
     is merge-major through every reshape) run with zero resharding; the
     pano branch's H-sharded spatial sites pay one all-to-all each way in
-    exchange for keeping kernel throughput. Returns None when no kernel
-    condition holds on the per-shard shapes (caller falls back to the
-    GSPMD-partitioned einsum paths)."""
+    exchange for keeping kernel throughput. Bias sites join only when the
+    bias is batch-replicated (the WarpAttn masks: [1, 1, Sq, Sk]).
+    Returns None when the batch does not divide the mesh (caller falls
+    back to the GSPMD-partitioned einsum paths)."""
     import numpy as np
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
-    from ..parallel.mesh import VIEW_AXIS, REPLICA_AXIS
+    from ..parallel.mesh import VIEW_AXIS, REPLICA_AXIS, activate_mesh
 
     axes = tuple(a for a in (REPLICA_AXIS, VIEW_AXIS) if a in mesh.shape)
     n = int(np.prod([mesh.shape[a] for a in axes]))
-    B, Sq, H, D = q.shape
-    Sk = k.shape[1]
+    B = q.shape[0]
     if n <= 1 or B % n:
         return None
-    Bl = B // n
-    skp = -(-Sk // 128) * 128
-    if (Sq <= 64 and Sk <= 64 and Bl >= 1024 and not no_packed
-            and _pack_group(Bl, Sq, Sk) >= 4):
-        impl = _packed_impl
-    elif (Bl >= 16 and Sq % 8 == 0 and Sq * skp <= _SINGLE_BLOCK_LOGITS
-            and not no_packed):
-        impl = _single_impl
-    elif Sq >= 256 and Sk >= 256:
-        impl = _flash_impl
-    else:
-        return None
+    if bias is not None and bias.shape[0] != 1:
+        return None  # per-row biases would need their own batch sharding
     spec = P(axes if len(axes) > 1 else axes[0], None, None, None)
-    body = lambda q_, k_, v_: _kernel_attention(impl, fscale, q_, k_, v_,
-                                                None)  # noqa: E731
+    rep = P(None, None, None, None)
+    args, specs = [q, k, v], [spec, spec, spec]
+    has_bias, has_bt = bias is not None, bias_t is not None
+    if has_bias:
+        args.append(bias)
+        specs.append(rep)
+    if has_bt:
+        args.append(jnp.asarray(bias_t))
+        specs.append(P(*([None] * np.ndim(bias_t))))
+
+    def body(q_, k_, v_, *rest):
+        b = rest[0] if has_bias else None
+        bt = rest[-1] if has_bt else None
+        with activate_mesh(None):   # per-shard: plain single-device dispatch
+            return dot_product_attention(q_, k_, v_, bias=b, scale=fscale,
+                                         bias_t=bt)
+
     # replication checking must be off: pallas out_shapes carry no varying
     # -mesh-axes (vma) annotation (new API: check_vma, old: check_rep)
     for kw in ({"check_vma": False}, {"check_rep": False}, {}):
         try:
-            fn = shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
+            fn = shard_map(body, mesh=mesh, in_specs=tuple(specs),
                            out_specs=spec, **kw)
             break
         except TypeError:
             continue
-    return fn(q, k, v)
+    return fn(*args)
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -460,16 +472,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fscale = float(D ** -0.5 if scale is None else scale)
     # Under an active device mesh, pallas_call is an opaque custom call
     # GSPMD cannot partition — it would force replication of the very
-    # tensors the mesh shards. No-bias sites with a mesh-divisible batch
-    # keep kernel throughput via per-shard kernels under shard_map
-    # (_sharded_batch_kernel); everything else routes to the XLA einsum
-    # paths, which GSPMD partitions cleanly (K/V gathers are inserted
-    # where the sequence axis is sharded).
+    # tensors the mesh shards. Sites with a mesh-divisible batch (and a
+    # batch-replicated bias, if any) keep kernel throughput via per-shard
+    # dispatch under shard_map (_sharded_batch_kernel); everything else
+    # routes to the XLA einsum paths, which GSPMD partitions cleanly (K/V
+    # gathers are inserted where the sequence axis is sharded).
     from ..parallel.mesh import current_mesh
     mesh = current_mesh()
     if mesh is not None:
-        if on_tpu and bias is None:
-            out = _sharded_batch_kernel(q, k, v, fscale, mesh, no_packed)
+        if on_tpu:
+            out = _sharded_batch_kernel(q, k, v, fscale, mesh, bias=bias,
+                                        bias_t=bias_t)
             if out is not None:
                 return out
         on_tpu = False
