@@ -196,13 +196,17 @@ def main():
             "vae_encode_s": round(float(pano_encode_s + pers_encode_s), 3),
             "sam_encode_s": round(float(sam_s), 3),
             "compile_s": round(float(compile_s), 1),
-            "projected_v5e8_s": round(float(clip_s / 8), 3),
-            "projection_basis": "near-linear view-axis scaling: XLA's own "
-                                "per-device cost analysis divides step "
-                                "FLOPs 7.83x on an 8-device mesh "
-                                "(scripts/sharded_flops.py; pers batch + "
-                                "pano latent-H sharded); sharded execution "
-                                "proven on virtual mesh "
+            # conservative: only the denoise scan is mesh-sharded today;
+            # SAM/VAE conditioning stages are charged at single-chip speed
+            "projected_v5e8_s": round(
+                float(total_steps * step_s / 8 + decode_s + pano_encode_s
+                      + pers_encode_s + sam_s), 3),
+            "projection_basis": "denoise/8 + unsharded conditioning: XLA's "
+                                "per-device cost analysis divides the "
+                                "denoise step's FLOPs 7.83x on an 8-device "
+                                "mesh (scripts/sharded_flops.py; pers "
+                                "batch + pano latent-H sharded); sharded "
+                                "execution proven on virtual mesh "
                                 "(tests/test_mesh_parity.py), real "
                                 "multi-chip hardware unavailable here",
             "device": str(jax.devices()[0]),

@@ -298,11 +298,14 @@ class MMDense(nn.Dense):
     def __call__(self, inputs):
         import os
         import numpy as np
-        from ..ops.attention import _on_tpu
+        from ..ops.attention import _interpret, _on_tpu
+        from ..parallel.mesh import current_mesh
         from ..ops.pallas_dense import dense_matmul, supported
         n = int(np.prod(inputs.shape[:-1]))
+        # mesh-gated like ops/attention.py: an opaque pallas_call would
+        # force GSPMD to replicate the sharded activations
         use = (os.environ.get("I360_PALLAS_DENSE", "0") == "1"
-               and _on_tpu()
+               and _on_tpu() and current_mesh() is None
                and supported(n, inputs.shape[-1], self.features))
         if not use:
             return super().__call__(inputs)
@@ -313,7 +316,7 @@ class MMDense(nn.Dense):
                            self.param_dtype) if self.use_bias else None)
         inputs, kernel, bias = nn.dtypes.promote_dtype(
             inputs, kernel, bias, dtype=self.dtype)
-        y = dense_matmul(inputs, kernel)
+        y = dense_matmul(inputs, kernel, interpret=_interpret())
         if bias is not None:
             y = y + bias
         return y

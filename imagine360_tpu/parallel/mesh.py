@@ -5,12 +5,13 @@ imports are dead code — reference inference_dual_p2e.py:17-19,
 SURVEY.md §2.4); this module is the TPU-native scale-out design:
 
 - mesh axes ("replica", "view"): "view" shards the folded 2x(CFG) x 20
-  perspective-view batch (and the pano branch's frame axis) over
-  ICI-connected chips; "replica" is data parallelism over independent
-  clips (training batches / serving requests) — size 1 on a single v5e-8.
+  perspective-view batch (and the pano branch's latent HEIGHT axis — see
+  shard_pano for why not frames) over ICI-connected chips; "replica" is
+  data parallelism over independent clips (training batches / serving
+  requests) — size 1 on a single v5e-8.
 - WarpAttn is the only cross-branch op: pano queries need all perspective
   keys (an all-gather over "view"), perspective queries need the full pano
-  (an all-gather over frames). Both ride ICI and are inserted automatically
+  (an all-gather over its sharded height rows). Both ride ICI and are inserted automatically
   by GSPMD from the sharding constraints below.
 - Gradients in the training step reduce over "replica" via GSPMD psum
   (optax update on replicated params).
@@ -49,7 +50,7 @@ def make_mesh(n_devices: Optional[int] = None, devices=None,
 
 @contextlib.contextmanager
 def activate_mesh(mesh: Optional[Mesh]):
-    """Makes shard_views/shard_frames below emit real constraints."""
+    """Makes shard_views/shard_pano/... below emit real constraints."""
     global _ACTIVE_MESH
     prev = _ACTIVE_MESH
     _ACTIVE_MESH = mesh

@@ -75,7 +75,7 @@ class Imagine360Pipeline:
             (run_cfg.pano_H // 8, run_cfg.pano_W // 8))
         self.pitch = PitchEstimator(mode=run_cfg.angle_adapt)
         # multi-chip: the denoise scan is traced with the mesh active so the
-        # shard_views/shard_frames constraints in DualUNet become real GSPMD
+        # shard_views/shard_pano constraints in DualUNet become real GSPMD
         # shardings over ICI (SURVEY §2.4 — the reference has no distributed
         # backend to port; inference_dual_p2e.py:17-19 is dead code)
         if mesh is None and run_cfg.use_mesh != "off":

@@ -216,9 +216,9 @@ class DualDiffusionSampler:
 
         With `mesh` (jax.sharding.Mesh over ('view',) or
         ('replica','view')), the scan is traced with the mesh active so the
-        shard_views/shard_frames constraints inside DualUNet become real
+        shard_views/shard_pano constraints inside DualUNet become real
         GSPMD shardings: the folded CFGxviews perspective batch and the pano
-        frame axis distribute over ICI-connected chips, and the WarpAttn
+        latent HEIGHT axis distribute over ICI-connected chips, and the WarpAttn
         all-gathers ride ICI (SURVEY §2.4 — a new first-class component; the
         reference has no distributed backend)."""
         from ..parallel.mesh import activate_mesh

@@ -16,17 +16,19 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
 
-_enabled = False
+_enabled: str | None = None
 
 
 def enable_compile_cache(path: str | None = None) -> str:
-    """Idempotent; returns the cache directory in use."""
+    """Idempotent; returns the cache directory ACTUALLY in use (the first
+    call wins — jax reads the config at compile time, so a second call
+    with a different path cannot retarget it)."""
     global _enabled
     import jax
 
     path = path or os.environ.get("IMAGINE360_COMPILE_CACHE", _DEFAULT_DIR)
-    if _enabled:
-        return path
+    if _enabled is not None:
+        return _enabled
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache every compile that costs >=1s; tiny executables aren't worth I/O
@@ -42,5 +44,5 @@ def enable_compile_cache(path: str | None = None) -> str:
         jax.config.update("jax_explain_cache_misses", True)
     except Exception:
         pass
-    _enabled = True
+    _enabled = path
     return path

@@ -42,8 +42,12 @@ def read_video(path: str, num_frames: Optional[int] = None) -> np.ndarray:
 def _read_video_cv2(path: str):
     """OpenCV decode fallback (this image ships no ffmpeg/pyav/decord;
     cv2's bundled codecs handle the reference example MP4s). Returns
-    [F, H, W, 3] RGB uint8 or None."""
-    import cv2
+    [F, H, W, 3] RGB uint8 or None (also None when cv2 is absent — the
+    'host' extra is optional; callers fall back to imageio)."""
+    try:
+        import cv2
+    except ImportError:
+        return None
 
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
@@ -81,7 +85,10 @@ def save_video(frames: np.ndarray, path: str, fps: int = 8):
 
 
 def _save_video_cv2(frames: np.ndarray, path: str, fps: int) -> bool:
-    import cv2
+    try:
+        import cv2
+    except ImportError:
+        return False
 
     h, w = frames.shape[1:3]
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
