@@ -64,11 +64,6 @@ def current_mesh() -> Optional[Mesh]:
     return _ACTIVE_MESH
 
 
-def _axes(mesh: Mesh):
-    has_replica = REPLICA_AXIS in mesh.shape
-    return has_replica
-
-
 def _constrain(x, spec: P):
     mesh = _ACTIVE_MESH
     if mesh is None:
