@@ -2,40 +2,66 @@
 
 Times the *actual compiled sampler loop* (DualDiffusionSampler.denoise — a
 lax.scan of full CFG dual-branch denoise steps, production architecture,
-bf16) plus the VAE decode/encode stages, then reports the reference sampling
-recipe cost (50 DDIM steps — reference inference_dual_p2e.py:324).
+bf16) plus the VAE decode/encode and SAM conditioning stages, then reports
+the reference sampling recipe cost (50 DDIM steps — reference
+inference_dual_p2e.py:324).
 
-Timing: one compiled scan of `bench_steps` full steps, fetched to host (a
-transfer cannot complete before execution, unlike block_until_ready over a
-tunneled device); per-step = total / bench_steps. Single compile keeps the
-bench robust when the remote compile service is slow; the included per-call
-dispatch overhead (~1/bench_steps) makes the number slightly conservative.
+Robustness (the round-2 failure mode was one axon-backend init error
+zeroing the whole round's perf evidence):
+- every measurement stage runs in its OWN subprocess, so a TPU worker
+  crash mid-stage cannot kill the others;
+- before each stage the orchestrator polls backend health (subprocess
+  probe) with backoff — the axon backend is known to crash-recover within
+  minutes ("TPU worker process crashed or restarted");
+- each stage's numbers are cached to .bench_cache.json on success; on a
+  stage failure the cached value is substituted and reported in
+  detail.degraded;
+- the orchestrator ALWAYS prints one JSON line and exits 0 (a best-effort
+  result from cache when the backend never comes up).
+- every compiled call stays well under the ~50 s device-time axon crash
+  threshold (10-step scan ~= 29 s; all other stages are < 5 s).
+
+Timing: one compiled scan of `bench_steps` full steps, reduced to a f32
+scalar on device and fetched (4 bytes — excludes the dev-tunnel transfer
+of the 54 MB clip, which costs 8-16 s through the tunnel but ~nothing on
+local PCIe); per-step = total / bench_steps.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
 vs_baseline is measured against the 60 s north-star target from
 BASELINE.json (the reference publishes no numbers of its own).
 """
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_PATH = os.path.join(REPO, ".bench_cache.json")
 
+# total wall-clock the orchestrator may spend waiting for the backend to
+# come (back) up, across all stages
+BACKEND_WAIT_BUDGET_S = 15 * 60
+STAGE_TIMEOUT_S = 45 * 60   # cold compile of the dual step can be >20 min
+
+
+# --------------------------------------------------------------------------
+# measurement helpers (stage subprocesses only)
+# --------------------------------------------------------------------------
 
 def _fetch(out):
     import jax
+    import numpy as np
     leaves = jax.tree.leaves(out)
     np.asarray(leaves[0])  # host transfer forces real completion
 
 
 def _scalarize(fn):
     """Wrap fn so it returns one f32 scalar depending on every output
-    element. Timing then fetches 4 bytes instead of the raw outputs —
-    execution still provably completes, but the measurement excludes the
-    axon dev-tunnel transfer (fetching the 54 MB decoded clip through the
-    tunnel costs 8-16 s; the device runs the whole decode in 0.5 s,
-    scripts/vae_profile.py). On local hardware the transfer is PCIe and
-    this distinction vanishes."""
+    element: execution provably completes but only 4 bytes cross the
+    tunnel."""
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +84,11 @@ def _time(fn, *args, iters=3):
     return best
 
 
-def main():
+# --------------------------------------------------------------------------
+# stages (each runs in its own subprocess: python bench.py --stage NAME)
+# --------------------------------------------------------------------------
+
+def stage_denoise():
     import jax
     import jax.numpy as jnp
 
@@ -74,8 +104,7 @@ def main():
                                                  build_dual_warp_geoms)
 
     frames = 16
-    total_steps = 50
-    bench_steps = 10
+    bench_steps = 10   # ~29 s device time/run: under the ~50 s axon limit
     M = 20
     jd = jnp.bfloat16
 
@@ -134,19 +163,27 @@ def main():
     t_loop = min(
         (lambda t: (_fetch(run(jax.random.PRNGKey(i))), time.time() - t)[1])(
             time.time()) for i in (1, 2))
-    step_s = t_loop / bench_steps
-    print(f"# denoise: {step_s*1000:.1f} ms/step (compile {compile_s:.0f}s)",
-          flush=True)
-    # free the big sampler buffers before the VAE stages
-    del params
-    ref_pano = ref_pers = None
+    return {"step_s": t_loop / bench_steps,
+            "compile_s": compile_s,
+            "device": str(jax.devices()[0])}
 
-    # VAE decode of the full clip (circularly padded width) + cond encodes
+
+def stage_vae():
+    import jax
+    import jax.numpy as jnp
+
+    from imagine360_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    from __graft_entry__ import _zeros_params
     from imagine360_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    frames, M = 16, 20
+    jd = jnp.bfloat16
     vae = AutoencoderKL(VAEConfig(dtype="bfloat16"))
     vparams = _zeros_params(
         vae, (jnp.zeros((1, 64, 64, 3), jd), jax.random.PRNGKey(0)),
         "bfloat16", rngs={"params": jax.random.PRNGKey(0)})
+    # decode of the full clip (circularly padded width)
     z = jnp.zeros((frames, 64, 136, 4), jd)
     dec = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))
     decode_s = _time(dec, vparams, z, iters=2)
@@ -157,22 +194,166 @@ def main():
     # perspective view encodes, chunked like the pipeline (80 frames/chunk)
     enc_pers_in = jnp.zeros((80, 256, 256, 3), jd)
     encp = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
-    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=2) * (frames * M / 80)
-    del vparams
+    pers_encode_s = _time(encp, vparams, enc_pers_in, iters=2) \
+        * (frames * M / 80)
+    return {"decode_s": decode_s, "pano_encode_s": pano_encode_s,
+            "pers_encode_s": pers_encode_s}
 
-    # conditioning encoders (the reference runs SAM over 2xF anchor frames,
-    # pipeline:675-718; round-1 bench omitted these — now included)
+
+def stage_sam():
+    import jax
+    import jax.numpy as jnp
+
+    from imagine360_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
+    from __graft_entry__ import _zeros_params
     from imagine360_tpu.models.sam import SAMImageEncoder, SAMConfig
+
+    frames = 16
+    jd = jnp.bfloat16
+    # the reference runs SAM over 2xF anchor frames (pipeline:675-718)
     sam = SAMImageEncoder(SAMConfig(dtype="bfloat16"))
     sparams = _zeros_params(sam, (jnp.zeros((1, 1024, 1024, 3), jd),),
-                            "bfloat16", rngs={"params": jax.random.PRNGKey(0)})
+                            "bfloat16",
+                            rngs={"params": jax.random.PRNGKey(0)})
     sam_in = jnp.zeros((8, 1024, 1024, 3), jd)
     sfn = jax.jit(lambda p, x: sam.apply(p, x))
     sam_s = _time(sfn, sparams, sam_in, iters=2) * (2 * frames / 8)
-    del sparams
-    # CLIP text encode (2 prompts x 77 tokens) is <10 ms — folded into the
-    # SAM figure's rounding rather than timed separately
+    return {"sam_s": sam_s}
 
+
+STAGES = {"denoise": stage_denoise, "vae": stage_vae, "sam": stage_sam}
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def _load_cache():
+    try:
+        with open(CACHE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_cache(cache):
+    try:
+        with open(CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception as e:               # read-only fs must not kill bench
+        print(f"# cache save failed: {e}", file=sys.stderr)
+
+
+def _backend_ok(timeout=180):
+    """Probe backend health in a throwaway subprocess (a failed in-process
+    jax backend init can leave the process wedged)."""
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128), jnp.bfloat16);"
+            "np.asarray((x @ x).sum()); print('OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                           capture_output=True, text=True, timeout=timeout)
+        return r.returncode == 0 and "OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_backend(deadline):
+    """Poll backend health until healthy or deadline (epoch secs). Returns
+    True if healthy."""
+    delay = 20
+    while True:
+        if _backend_ok():
+            return True
+        now = time.time()
+        if now >= deadline:
+            return False
+        print(f"# backend unavailable; retrying in {delay}s "
+              f"({deadline - now:.0f}s of wait budget left)",
+              file=sys.stderr, flush=True)
+        time.sleep(min(delay, max(1, deadline - now)))
+        delay = min(delay * 2, 120)
+
+
+def _run_stage(name, deadline, attempts=3):
+    """Run one stage subprocess; returns (dict|None, error_string|None)."""
+    err = None
+    for i in range(attempts):
+        if time.time() > deadline and i > 0:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--stage", name],
+                cwd=REPO, capture_output=True, text=True,
+                timeout=STAGE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            err = f"{name}: stage subprocess timed out"
+            continue
+        if r.returncode == 0:
+            for line in reversed(r.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line), None
+                except json.JSONDecodeError:
+                    continue
+            err = f"{name}: no JSON in stage output"
+        else:
+            tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+            err = f"{name}: rc={r.returncode}: " + " | ".join(tail)
+        print(f"# stage {name} attempt {i+1} failed: {err}",
+              file=sys.stderr, flush=True)
+        # give a crashed worker time to recover before the retry
+        if i + 1 < attempts and not _wait_for_backend(
+                min(deadline, time.time() + 300)):
+            break
+    return None, err
+
+
+def main():
+    total_steps = 50
+    deadline = time.time() + BACKEND_WAIT_BUDGET_S
+    cache = _load_cache()
+    degraded = []
+
+    up = _wait_for_backend(deadline)
+    if not up:
+        degraded.append("backend never became available "
+                        f"within {BACKEND_WAIT_BUDGET_S}s")
+
+    results = {}
+    for name in ("denoise", "vae", "sam"):
+        if up:
+            out, err = _run_stage(name, deadline)
+        else:
+            out, err = None, "backend unavailable"
+        if out is not None:
+            results[name] = out
+            cache[name] = dict(out, ts=time.time())
+            _save_cache(cache)
+        elif name in cache:
+            results[name] = cache[name]
+            degraded.append(f"{name}: using cached value "
+                            f"({time.strftime('%Y-%m-%d', time.localtime(cache[name].get('ts', 0)))}) — {err}")
+        else:
+            degraded.append(f"{name}: failed with no cached fallback — {err}")
+
+    den = results.get("denoise", {})
+    vae = results.get("vae", {})
+    sam = results.get("sam", {})
+    step_s = den.get("step_s")
+    if step_s is None:
+        # nothing measured and nothing cached: emit an explicit failure
+        # record (still rc=0 + one JSON line, per the driver contract)
+        print(json.dumps({
+            "metric": "sec per 16-frame 512x1024 pano clip (1 chip)",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "detail": {"degraded": degraded}}))
+        return
+
+    decode_s = vae.get("decode_s", 0.0)
+    pano_encode_s = vae.get("pano_encode_s", 0.0)
+    pers_encode_s = vae.get("pers_encode_s", 0.0)
+    sam_s = sam.get("sam_s", 0.0)
     clip_s = (total_steps * step_s + decode_s + pano_encode_s
               + pers_encode_s + sam_s)
     # north star: <60 s on a v5e-8 (BASELINE.md) = 480 chip-seconds;
@@ -184,36 +365,54 @@ def main():
     # multi-chip hardware is not available to this environment, so this is
     # a projection, not a measurement.
     target_chip_seconds = 60.0 * 8
-    result = {
-        "metric": "sec per 16-frame 512x1024 pano clip (1 chip, incl. SAM/VAE conditioning)",
+    detail = {
+        "denoise_step_s": round(float(step_s), 4),
+        "steps_per_sec_chip": round(float(1.0 / step_s), 3),
+        "vae_decode_s": round(float(decode_s), 3),
+        "vae_encode_s": round(float(pano_encode_s + pers_encode_s), 3),
+        "sam_encode_s": round(float(sam_s), 3),
+        "compile_s": round(float(den.get("compile_s", 0.0)), 1),
+        "projected_v5e8_s": round(
+            float(total_steps * step_s / 8
+                  + (decode_s + pano_encode_s + pers_encode_s + sam_s) / 8),
+            3),
+        "projection_basis": "all stages mesh-sharded: XLA's per-device "
+                            "cost analysis divides the denoise step's "
+                            "FLOPs 7.83x (scripts/sharded_flops.py; pers "
+                            "batch + pano latent-H sharded) and the "
+                            "SAM/VAE conditioning stages 8.00x "
+                            "(scripts/conditioning_flops.py; frame-axis "
+                            "sharded) on an 8-device mesh; sharded "
+                            "execution proven on virtual mesh "
+                            "(tests/test_mesh_parity.py, "
+                            "tests/test_sharded_conditioning.py), real "
+                            "multi-chip hardware unavailable here",
+        "device": den.get("device", "unknown"),
+    }
+    if degraded:
+        detail["degraded"] = degraded
+    print(json.dumps({
+        "metric": "sec per 16-frame 512x1024 pano clip "
+                  "(1 chip, incl. SAM/VAE conditioning)",
         "value": round(float(clip_s), 3),
         "unit": "s",
         "vs_baseline": round(float(target_chip_seconds / clip_s), 3),
-        "detail": {
-            "denoise_step_s": round(float(step_s), 4),
-            "steps_per_sec_chip": round(float(1.0 / step_s), 3),
-            "vae_decode_s": round(float(decode_s), 3),
-            "vae_encode_s": round(float(pano_encode_s + pers_encode_s), 3),
-            "sam_encode_s": round(float(sam_s), 3),
-            "compile_s": round(float(compile_s), 1),
-            # conservative: only the denoise scan is mesh-sharded today;
-            # SAM/VAE conditioning stages are charged at single-chip speed
-            "projected_v5e8_s": round(
-                float(total_steps * step_s / 8 + decode_s + pano_encode_s
-                      + pers_encode_s + sam_s), 3),
-            "projection_basis": "denoise/8 + unsharded conditioning: XLA's "
-                                "per-device cost analysis divides the "
-                                "denoise step's FLOPs 7.83x on an 8-device "
-                                "mesh (scripts/sharded_flops.py; pers "
-                                "batch + pano latent-H sharded); sharded "
-                                "execution proven on virtual mesh "
-                                "(tests/test_mesh_parity.py), real "
-                                "multi-chip hardware unavailable here",
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+        "detail": detail,
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=sorted(STAGES), default=None)
+    a = ap.parse_args()
+    if a.stage:
+        print(json.dumps(STAGES[a.stage]()))
+    else:
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001 — never die without JSON
+            print(f"# orchestrator error: {e}", file=sys.stderr)
+            print(json.dumps({
+                "metric": "sec per 16-frame 512x1024 pano clip (1 chip)",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "detail": {"degraded": [f"orchestrator error: {e}"]}}))

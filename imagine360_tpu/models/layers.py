@@ -69,6 +69,7 @@ class InflatedConv(nn.Module):
     stride: int = 1
     padding: int = 1
     use_bias: bool = True
+    kernel_init_zero: bool = False   # guided-diffusion zero_module convs
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,7 +80,8 @@ class InflatedConv(nn.Module):
             x = x.reshape(B * F, H, W, C)
         k = self.kernel
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", nn.initializers.zeros if self.kernel_init_zero
+            else nn.initializers.lecun_normal(),
             (k, k, x.shape[-1], self.features), jnp.float32)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
@@ -295,6 +297,7 @@ class MMDense(nn.Dense):
     default this IS nn.Dense.
     """
 
+    @nn.compact
     def __call__(self, inputs):
         import os
         import numpy as np

@@ -133,7 +133,12 @@ class SAMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..parallel.mesh import shard_views
         c = self.cfg
+        # multi-chip: re-anchor the frame-axis sharding at every block (the
+        # window partition reshapes are frame-major, so the constraint
+        # survives them; no-op without an active mesh)
+        x = shard_views(x)
         shortcut = x
         h = LayerNorm(epsilon=1e-6, dtype=c.jdtype, name="norm1")(x)
         if self.window_size > 0:
@@ -173,11 +178,13 @@ class SAMImageEncoder(nn.Module):
     def __call__(self, x):
         """x [B, 1024, 1024, 3] (already mean/std normalized + padded) ->
         [B, 64, 64, 256]."""
+        from ..parallel.mesh import shard_views
         c = self.cfg
         gh = c.img_size // c.patch_size
+        # multi-chip: SAM runs per frame — shard the frame axis
         h = nn.Conv(c.embed_dim, (c.patch_size, c.patch_size),
                     strides=c.patch_size, padding="VALID", dtype=c.jdtype,
-                    name="patch_embed_proj")(x)
+                    name="patch_embed_proj")(shard_views(x))
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, gh, gh, c.embed_dim))
         h = h + pos.astype(h.dtype)

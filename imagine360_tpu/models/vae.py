@@ -88,9 +88,13 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from ..parallel.mesh import shard_views
         c = self.cfg
+        # multi-chip: every VAE op is frame-independent, so sharding the
+        # leading (frame) axis divides the whole encode over the mesh; the
+        # constraint is a no-op without an active mesh
         h = nn.Conv(c.block_out_channels[0], (3, 3), padding=1,
-                    dtype=c.jdtype, name="conv_in")(x)
+                    dtype=c.jdtype, name="conv_in")(shard_views(x))
         for i, ch in enumerate(c.block_out_channels):
             for j in range(c.layers_per_block):
                 h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
@@ -119,9 +123,13 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z):
+        from ..parallel.mesh import shard_views
         c = self.cfg
         ch = c.block_out_channels[-1]
-        h = nn.Conv(ch, (3, 3), padding=1, dtype=c.jdtype, name="conv_in")(z)
+        # multi-chip: decode shards its frame axis like the encoder (also
+        # bounds per-device activation memory at full resolution)
+        h = nn.Conv(ch, (3, 3), padding=1, dtype=c.jdtype,
+                    name="conv_in")(shard_views(z))
         h = VAEResnetBlock(ch, c.jdtype, c.norm_num_groups,
                            name="mid_block_resnets_0")(h)
         h = VAEAttention(ch, c.jdtype, c.norm_num_groups,

@@ -30,8 +30,9 @@ def linear_fit_pitch(pitches: Sequence[float]) -> np.ndarray:
 def weighted_linear_fit_pitch(pitches: Sequence[float],
                               weights: Sequence[float]) -> np.ndarray:
     """Weighted least-squares line over frame index; frames with zero weight
-    (no estimate) get the fitted value. Falls back to the unweighted fit /
-    zeros when too few frames carry signal."""
+    (no estimate) get the fitted value. Degenerate fallbacks: all-zero
+    weights -> zeros; exactly one frame with signal -> that frame's pitch
+    as a constant."""
     y = np.asarray(pitches, np.float64)
     w = np.asarray(weights, np.float64)
     n = len(y)

@@ -42,6 +42,13 @@ def build_dual_warp_geoms(cfg: DualUNetConfig, cameras,
     scales = {f"r{2 ** (i + 1)}": 2 ** (i + 1) for i in range(n - 1)}
     ph, pw = pers_latent_hw
     eh, ew = equi_latent_hw
+    max_s = 2 ** (n - 1)
+    if min(ph, pw, eh, ew) < max_s:
+        raise ValueError(
+            f"latent sizes pers={pers_latent_hw} equi={equi_latent_hw} too "
+            f"small for a {n}-level UNet (deepest stride {max_s}); "
+            f"pano_H must be >= {max_s * 8 * 2} (pers views are pano_H/2, "
+            f"latents /8)")
     geoms = {"pe": {}}
     for rkey, s in scales.items():
         g = warp_geometry(cameras, (ph // s, pw // s), (eh // s, ew // s),

@@ -61,17 +61,29 @@ class PanoRefiner:
 
         g = cfg.guidance_scale
         use_fps = unet.cfg.use_fps_condition
+        # CFG is a no-op when g==1 or both prompts are identical (the
+        # default SR CLI wires no text encoder, so text_neg == text_pos ==
+        # zeros and u == c — the doubled UNet pass would cost 2x for
+        # nothing); run a single conditional pass instead
+        cfg_active = (g != 1.0
+                      and not bool(jnp.all(text_pos == text_neg)))
 
         def step(params, z, z_cond, t, text2):
             # z, z_cond: [F, h, w, 4]; CFG pair on the batch axis
             zin = jnp.concatenate(
                 [z, jnp.zeros_like(z[..., :1]), z_cond], axis=-1)
-            x = jnp.stack([zin, zin])                   # [2, F, h, w, 9]
-            tv = jnp.full((2,), t, jnp.float32)
-            fps = (jnp.full((2,), cfg.fps, jnp.float32)
+            n = 2 if cfg_active else 1
+            x = jnp.stack([zin] * n)                    # [n, F, h, w, 9]
+            tv = jnp.full((n,), t, jnp.float32)
+            fps = (jnp.full((n,), cfg.fps, jnp.float32)
                    if use_fps else None)
-            pred = self.unet.apply(params, x, tv, text2, fps=fps,
-                                   pad=cfg.pano_pad)
+            # single pass uses the POSITIVE prompt (g==1 reduces CFG to the
+            # conditional pass; identical prompts make the choice moot)
+            pred = self.unet.apply(params, x, tv,
+                                   text2 if cfg_active else text2[1:],
+                                   fps=fps, pad=cfg.pano_pad)
+            if not cfg_active:
+                return pred[0].astype(z.dtype)
             u, c = pred[0], pred[1]
             return (u + g * (c - u)).astype(z.dtype)
 

@@ -29,3 +29,30 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 from imagine360_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()
+
+# ---------------------------------------------------------------------------
+# fast/slow split: the full suite costs ~50 min on this 1-core host, almost
+# all of it XLA CPU compiles in the virtual-mesh and golden-e2e modules.
+# Default developer loop:  pytest -m "not slow and not mesh"   (~ minutes)
+# Full suite (driver/CI):  pytest tests/ -x -q                 (unchanged)
+# ---------------------------------------------------------------------------
+_MESH_MODULES = {
+    "test_mesh_parity", "test_sharded_attention", "test_sharded_flops",
+    "test_sharded_conditioning",
+}
+_SLOW_MODULES = {
+    "test_golden_pipeline", "test_pipeline_e2e", "test_golden_dual",
+    "test_golden_unet", "test_training", "test_real_video",
+    "test_ssim_harness",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _MESH_MODULES:
+            item.add_marker(pytest.mark.mesh)
+            item.add_marker(pytest.mark.slow)
+        elif mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
