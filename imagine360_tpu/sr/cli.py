@@ -34,8 +34,16 @@ def main(argv=None):
     ap.add_argument("--guidance", type=float, default=7.5)
     ap.add_argument("--fps", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--engine", choices=["pano", "v2v"], default="pano",
+                    help="refiner engine: the repo's pano UNet branch "
+                         "(default, works without external weights) or the "
+                         "structural VEnhancer ControlledV2VUNet port "
+                         "(sr/unet_v2v.py; needs --v2v-ckpt)")
     ap.add_argument("--pano-unet-ckpt", default=None,
                     help="reference-format pano UNet ckpt for the refiner")
+    ap.add_argument("--v2v-ckpt", default=None,
+                    help="VEnhancer ControlledV2VUNet torch ckpt "
+                         "(converted via sr/unet_v2v.py:convert_v2v)")
     ap.add_argument("--vae-path", default=None,
                     help="SD VAE dir or safetensors file")
     ap.add_argument("--tiny", action="store_true",
@@ -80,6 +88,17 @@ def main(argv=None):
             vae_params, convert_vae_state_dict(ckpt.load_state_dict(path)))
         log.info("loaded VAE weights from %s", path)
 
+    if args.engine == "v2v":
+        refiner = _build_v2v_refiner(args, dtype)
+        cfg = EnhancerConfig(up_scale=args.up_scale, num_steps=args.steps,
+                             noise_aug=args.noise_aug,
+                             solver_mode=args.solver)
+        enhancer = Video360Enhancer(refiner, vae, vae_params, cfg)
+        out = enhancer(frames, jax.random.PRNGKey(args.seed))
+        save_video(out, args.output, args.fps)
+        log.info("saved %s %s", args.output, out.shape)
+        return
+
     ucfg = tiny_unet_config(dtype) if args.tiny else full_unet_config(dtype)
     unet = UNet3DConditionModel(ucfg)
     F = min(8, frames.shape[0])
@@ -108,6 +127,38 @@ def main(argv=None):
     out = enhancer(frames, jax.random.PRNGKey(args.seed))
     save_video(out, args.output, args.fps)
     log.info("saved %s %s", args.output, out.shape)
+
+
+def _build_v2v_refiner(args, dtype):
+    import jax.numpy as jnp
+    from .unet_v2v import (ControlledV2VUNet, V2VConfig, V2VRefiner,
+                           convert_v2v, tiny_v2v_config)
+    from .. import cli as main_cli
+
+    vcfg = tiny_v2v_config(dtype) if args.tiny else V2VConfig(dtype=dtype)
+    model = ControlledV2VUNet(vcfg)
+    F = 4
+    params = main_cli._init_params(
+        model, lambda: model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, F, 8, 16, vcfg.in_dim)), jnp.zeros((1,)),
+            jnp.zeros((1, 77, vcfg.context_dim)),
+            jnp.zeros((1, F, 8, 16, vcfg.in_dim)),
+            t_hint=jnp.zeros((1,)), mask_cond=jnp.ones((1, F)),
+            s_cond=jnp.full((1,), 2.0)), dtype)
+    if args.v2v_ckpt and os.path.exists(args.v2v_ckpt):
+        from ..utils.convert import apply_converted
+        from ..utils import checkpoints as ckpt
+        flat = convert_v2v(ckpt.load_state_dict(args.v2v_ckpt), vcfg)
+        unmapped = flat.pop("_unmapped", [])
+        params, missing, unexpected = apply_converted(params, flat)
+        log.info("v2v ckpt: %d missing, %d unexpected, %d unmapped",
+                 len(missing), len(unexpected), len(unmapped))
+    else:
+        log.warning("no VEnhancer ckpt — zero-init dev mode")
+    return V2VRefiner(model, params, guidance_scale=args.guidance,
+                      t_hint=max(0, args.noise_aug - 1),
+                      s_cond=float(args.up_scale))
 
 
 if __name__ == "__main__":

@@ -494,7 +494,8 @@ class V2VRefiner:
         low = z_clean[None, ::self.interp_f_num + 1]
         hint, mask = scatter_hint(low, F, self.interp_f_num)
         noise = jax.random.normal(key, hint.shape, hint.dtype)
-        acp = jnp.asarray(make_ddim_schedule().alphas_cumprod)
+        acp = jnp.asarray(
+            make_ddim_schedule(num_inference_steps=15).alphas_cumprod)
         t = jnp.full((1,), int(self.t_hint), jnp.int32)
         self._hint = add_noise(hint, noise, acp,
                                t[:, None, None, None, None])

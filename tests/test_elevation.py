@@ -58,3 +58,21 @@ def test_linear_fits():
                                     [1.0, 0.0, 1.0, 0.0])
     np.testing.assert_allclose(fit, [1.0, 2.0, 3.0, 4.0], atol=1e-6)
     assert weighted_linear_fit_pitch([5.0], [0.0]).tolist() == [0.0]
+
+
+def test_horizon_estimator_accuracy():
+    """VERDICT r2 item 7: fitted-pitch RMSE bound on synthetic clips
+    rendered at known pitches (full table: tools/elevation_eval.py,
+    docs/PARITY.md)."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "elevation_eval.py")
+    spec = importlib.util.spec_from_file_location("elevation_eval", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rows = mod.evaluate(pitch_range=(-20, 20), step=10, frames=6)
+    errs = [err for _, _, err, _ in rows]
+    rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert rmse < 2.0, rows
+    assert max(errs) < 3.5, rows
