@@ -56,9 +56,11 @@ class TemporalResnetBlock(nn.Module):
                 + bias.astype(self.dtype)
             return y.reshape(B, H, W, F, cout).transpose(0, 3, 1, 2, 4)
 
-        h = _FastGN(32, 1e-6, name="norm1")(x)
+        # temporal_eps=1e-5: SVD's TemporalDecoder blocks run their
+        # temporal resnets at a looser eps than the 1e-6 spatial ones
+        h = _FastGN(32, 1e-5, name="norm1")(x)
         h = tconv(nn.silu(h), self.out_channels, "conv1")
-        h = _FastGN(32, 1e-6, name="norm2")(h)
+        h = _FastGN(32, 1e-5, name="norm2")(h)
         h = tconv(nn.silu(h), self.out_channels, "conv2")
         if C != self.out_channels:
             x = nn.Dense(self.out_channels, dtype=self.dtype,

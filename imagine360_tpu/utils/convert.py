@@ -216,6 +216,67 @@ def convert_vae_state_dict(state: Mapping[str, object]) -> Dict[str, np.ndarray]
     return out
 
 
+def convert_temporal_vae_state_dict(
+        state: Mapping[str, object]) -> Dict[str, np.ndarray]:
+    """diffusers `AutoencoderKLTemporalDecoder` (the SVD temporal-decoder
+    VAE the reference SR stage loads, reference
+    sr/video_to_video_model.py:61-67) torch state_dict -> our flax
+    AutoencoderKLTemporalDecoder params (flat).
+
+    Encoder / quant_conv / spatial resblocks / mid attention flow through
+    convert_vae_state_dict (identical naming, with the extra
+    `spatial_res_block` module level). Temporal specifics:
+      - temporal_res_block conv1/conv2 are Conv3d (3,1,1): weight
+        [Co, Ci, 3, 1, 1] -> our flat 'convN_kernel' (3, Ci, Co) ('WIO')
+      - a temporal conv_shortcut is Conv3d k=1 -> our Dense [Ci, Co]
+      - time_mixer.mix_factor is NEGATED: the decoder's AlphaBlender runs
+        with switch_spatial_to_temporal_mix=True, i.e.
+        out = (1-sigmoid(m))*spatial + sigmoid(m)*temporal, while ours is
+        out = sigmoid(m')*spatial + (1-sigmoid(m'))*temporal  =>  m' = -m
+      - decoder.time_conv_out Conv3d (3,1,1) over the output frames ->
+        flat decoder.time_conv_out_kernel / _bias
+    """
+    temporal: Dict[str, np.ndarray] = {}
+    rest = {}
+    for k, v in state.items():
+        arr = _to_numpy(v)
+        if k.endswith("time_mixer.mix_factor"):
+            key = _flatten_indices(k[: -len(".time_mixer.mix_factor")])
+            key = key.replace("mid_block.resnets_", "mid_block_resnets_")
+            key = re.sub(r"up_blocks_(\d+)\.resnets_",
+                         r"up_blocks_\1_resnets_", key)
+            temporal[key + ".mix_factor"] = -arr.reshape(())
+        elif arr.ndim == 5:                      # Conv3d weights
+            key = _flatten_indices(k)
+            key = key.replace("mid_block.resnets_", "mid_block_resnets_")
+            key = re.sub(r"up_blocks_(\d+)\.resnets_",
+                         r"up_blocks_\1_resnets_", key)
+            co, ci, kt = arr.shape[:3]
+            if key.endswith("conv_shortcut.weight"):     # k=1 -> Dense
+                temporal[key[: -len(".weight")] + ".kernel"] = (
+                    arr.reshape(co, ci).transpose(1, 0))
+            else:                                        # (3,1,1) temporal
+                base = key[: -len(".weight")]
+                base = (base.replace(".conv1", ".conv1_kernel")
+                        .replace(".conv2", ".conv2_kernel")
+                        .replace(".time_conv_out", ".time_conv_out_kernel"))
+                temporal[base] = arr.reshape(co, ci, kt).transpose(2, 1, 0)
+        elif ".temporal_res_block.conv" in k and k.endswith(".bias") \
+                and ".conv_shortcut." not in k:
+            key = _flatten_indices(k[: -len(".bias")])
+            key = key.replace("mid_block.resnets_", "mid_block_resnets_")
+            key = re.sub(r"up_blocks_(\d+)\.resnets_",
+                         r"up_blocks_\1_resnets_", key)
+            temporal[key + "_bias"] = arr
+        elif k.endswith("time_conv_out.bias"):
+            temporal[_flatten_indices(k[: -len(".bias")]) + "_bias"] = arr
+        else:
+            rest[k] = v
+    out = convert_vae_state_dict(rest)
+    out.update(temporal)
+    return out
+
+
 def apply_converted(params_tree: dict, flat_converted: Mapping[str, np.ndarray],
                     strict: bool = False):
     """Copy converted arrays into an init'd flax params tree (shape-checked).
