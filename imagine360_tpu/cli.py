@@ -184,19 +184,39 @@ def main(argv=None):
     enable_compile_cache()
 
     cfg = RunConfig.from_yaml(args.config)
+    if args.tiny:
+        # tiny mode is the weightless plumbing smoke: unconditioned is fine
+        cfg.allow_unconditioned = True
     dual_cfg = (tiny_dual_config() if args.tiny
                 else full_dual_config(cfg.dtype))
+    videos = sorted(glob.glob(os.path.join(cfg.video_path, "*.mp4"))
+                    + glob.glob(os.path.join(cfg.video_path, "*.npy")))
+    if not videos:
+        log.error("no videos found under %s", cfg.video_path)
+        return
+    # a prompt with no text encoder would silently generate unconditioned
+    # video (zero text embeddings) — refuse BEFORE the expensive model
+    # build (round-2 review finding)
+    vp = cfg.pretrained_model_path
+    has_tokenizer = bool(vp) and os.path.isdir(os.path.join(vp, "tokenizer"))
+    if not has_tokenizer:
+        prompted = [p for p in videos
+                    if os.path.exists(os.path.splitext(p)[0] + ".txt")]
+        if (cfg.prompt.strip() or prompted) and not cfg.allow_unconditioned:
+            log.error(
+                "prompts exist (%s) but no CLIP tokenizer/text encoder is "
+                "available — generation would silently ignore them. Point "
+                "pretrained_model_path at an SD2.1 tree with text_encoder/ "
+                "and tokenizer/, or set allow_unconditioned: true.",
+                cfg.prompt.strip()[:40] or
+                f"{len(prompted)} sidecar .txt files")
+            return
     os.makedirs(cfg.output_dir, exist_ok=True)
     cfg.to_yaml(os.path.join(cfg.output_dir, "config.yaml"))
 
     modules = build_modules(cfg, dual_cfg)
     pipe = Imagine360Pipeline(modules, cfg, dual_cfg)
 
-    videos = sorted(glob.glob(os.path.join(cfg.video_path, "*.mp4"))
-                    + glob.glob(os.path.join(cfg.video_path, "*.npy")))
-    if not videos:
-        log.error("no videos found under %s", cfg.video_path)
-        return
     rng = jax.random.PRNGKey(cfg.global_seed)
     for path in videos:
         name = os.path.splitext(os.path.basename(path))[0]

@@ -51,6 +51,9 @@ class RunConfig:
     global_seed: int = 996995
     prompt: str = ""
     negative_prompt: str = "noisy, ugly, nude, watermark"
+    # a run with a prompt but no CLIP tokenizer/encoder would silently
+    # generate UNCONDITIONED video; the CLI refuses unless this is set
+    allow_unconditioned: bool = False
     use_outpaint: bool = True
     angle_adapt: str = "linear_fit"   # {geocalib, perspectivefields, linear_fit, none}
     use_ip_plus_cross_attention: bool = True

@@ -157,6 +157,8 @@ class Imagine360Pipeline:
         [uncond; cond] (reference _encode_prompt, pipeline:210-297)."""
         D = self.dual_cfg.pano.cross_attention_dim
         if self.m.text_encoder is None or self.m.tokenizer is None:
+            # zeros == unconditioned generation (the CLI refuses this
+            # combination up-front when a prompt exists; see cli.py)
             emb = jnp.zeros((2, 77, D), jnp.float32)
         else:
             ids = jnp.asarray(np.stack([self.m.tokenizer(negative),

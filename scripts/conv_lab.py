@@ -53,14 +53,6 @@ def pad_to(x, m):
     return -(-x // m) * m
 
 
-def chain(fn, x, w, n):
-    def body(c, _):
-        y = fn(c, w)
-        # keep shapes closed: project back to input channel count
-        return y[..., : x.shape[-1]] if y.shape != c.shape else y, None
-    return jax.jit(lambda a: jax.lax.scan(body, a, None, length=n)[0])
-
-
 def conv(x, w):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
@@ -68,46 +60,69 @@ def conv(x, w):
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 
+def mk_chain(x, w, n):
+    """n dependent convs, scalar carry (4-byte fetch, DCE-proof).
+
+    Methodology notes (the first version of this lab was wrong two ways):
+    - fetching the full conv output through the dev tunnel (25-420 MB,
+      seconds of jitter) swamps the ms-scale per-conv delta -> reduce to
+      one f32 scalar ON DEVICE and fetch 4 bytes;
+    - carrying only y[0,0,0,0] lets XLA slice the conv to a single output
+      pixel (dead-code elimination of 99.9% of the FLOPs) -> jnp.sum keeps
+      every output element live, and adding the carry into the input makes
+      each iteration's conv distinct (no CSE).
+    The scalar-broadcast add + sum cost ~ (2*in + out) bytes of HBM per
+    iteration; that overhead is included in the printed 'ovh' bound.
+    """
+    del x, w  # passed as jit ARGUMENTS: closure capture would bake the
+              # (up to 420 MB) input into the HLO as a constant, which the
+              # remote compile service rejects (HTTP 413)
+
+    @jax.jit
+    def f(s0, x, w):
+        def body(c, _):
+            y = conv(x + c.astype(x.dtype), w)
+            return jnp.sum(y.astype(jnp.float32)) * 1e-12, None
+        return jax.lax.scan(body, s0, None, length=n)[0]
+    return f
+
+
 def main():
     total_xla = 0.0
     total_ideal = 0.0
+    s0 = jnp.float32(0)
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
     for tag, N, H, W, Ci, Co, k in SHAPES:
+        if only and not tag.startswith(only):
+            continue
         x = jax.random.normal(jax.random.PRNGKey(0), (N, H, W, Ci),
                               jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(1), (k, k, Ci, Co),
                               jnp.bfloat16) * 0.02
         flops = 2 * N * H * W * k * k * Ci * Co
-        # MXU with lane padding on both contraction (Ci*k*k -> mult of 128
-        # sublane-tiles is cheap; lanes are Co) and output lanes
+        # MXU with lane padding on the output channels (lanes are Co)
         eff = (Co / pad_to(Co, 128))
         mxu_ms = flops / (PEAK_TFS * 1e12 * eff) * 1e3
         bytes_ = (N * H * W * (Ci + Co) + k * k * Ci * Co) * 2
         hbm_ms = bytes_ / (HBM_GBS * 1e9) * 1e3
+        # harness overhead per iteration: read x, write x+c, read y for sum
+        ovh_ms = (N * H * W * (2 * Ci + Co) * 2) / (HBM_GBS * 1e9) * 1e3
         ideal = max(mxu_ms, hbm_ms)
-        if Ci != Co:
-            # channel-changing convs can't chain output->input; carry a
-            # scalar INTO the input so XLA can't CSE the repeated convs
-            def mk(n):
-                def body(c, _):
-                    y = conv(x + c.astype(x.dtype), w)
-                    return y[0, 0, 0, 0].astype(jnp.float32), None
-                return jax.jit(lambda a: jax.lax.scan(
-                    body, jnp.float32(0), None, length=n)[0])
-            f_s, f_l = mk(4), mk(24)
-        else:
-            f_s, f_l = chain(conv, x, w, 4), chain(conv, x, w, 24)
-        np.asarray(f_s(x)); np.asarray(f_l(x))
+        f_s, f_l = mk_chain(x, w, 4), mk_chain(x, w, 24)
+        np.asarray(f_s(s0, x, w)); np.asarray(f_l(s0, x, w))
         ts, tl = [], []
         for _ in range(3):
-            t0 = time.time(); np.asarray(f_s(x)); ts.append(time.time() - t0)
-            t0 = time.time(); np.asarray(f_l(x)); tl.append(time.time() - t0)
+            t0 = time.time(); np.asarray(f_s(s0, x, w))
+            ts.append(time.time() - t0)
+            t0 = time.time(); np.asarray(f_l(s0, x, w))
+            tl.append(time.time() - t0)
         t = (min(tl) - min(ts)) / 20
         tfs = flops / t / 1e12
         total_xla += t * 1e3
         total_ideal += ideal
         print(f"{tag:14s} {t*1e3:7.3f} ms {tfs:6.1f} TF/s  "
-              f"ideal {ideal:6.3f} ms (mxu {mxu_ms:.3f} / hbm {hbm_ms:.3f})"
-              f"  gap {t*1e3/ideal:4.2f}x", flush=True)
+              f"ideal {ideal:6.3f} ms (mxu {mxu_ms:.3f} / hbm {hbm_ms:.3f} "
+              f"/ ovh {ovh_ms:.3f})  gap {t*1e3/ideal:4.2f}x", flush=True)
     print(f"TOTAL xla {total_xla:.2f} ms vs ideal {total_ideal:.2f} ms "
           f"({total_xla/total_ideal:.2f}x)")
 
