@@ -17,7 +17,10 @@ on the REAL site shapes (B = 2 CFG x 16 frames = 32 rows; heads = C/32):
   enc_1/dec_1: C=640  H=20  pano 16x32=512   <-> pers 20*8*8=1280
   enc_2/mid/dec_0: C=1280 H=40 pano 8x16=128 <-> pers 20*4*4=320
 
-Chained fori_loop timing (carry = q), scalar fetch.
+Single-call timing (block_until_ready, min over repeats): per-call costs
+here are 10-250 ms, so dispatch noise (~1 ms) is irrelevant and each path
+costs ONE compile instead of the two chained fori_loop executables the
+first version used (those took ~7 min each to compile on this host).
 Run: python scripts/warp_site_lab.py [site ...]
 """
 import os
@@ -44,29 +47,19 @@ SITES = [
 B = 32   # 2 CFG x 16 frames
 
 
-def chain_time(fn, q, *rest, n_lo=4, n_hi=16):
+def chain_time(fn, q, *rest, reps=6):
     import jax
-    import jax.numpy as jnp
 
-    def make(n):
-        @jax.jit
-        def run(q, *rest):
-            out = jax.lax.fori_loop(
-                0, n, lambda i, acc: fn(acc, *rest).astype(q.dtype), q)
-            return out.astype(jnp.float32).sum()
-        return run
-
-    lo, hi = make(n_lo), make(n_hi)
+    run = jax.jit(lambda q, *rest: fn(q, *rest))
     t0 = time.time()
-    np.asarray(lo(q, *rest)); np.asarray(hi(q, *rest))
+    jax.block_until_ready(run(q, *rest))
     compile_s = time.time() - t0
-    t_lo = t_hi = float("inf")
-    for _ in range(2):
-        t0 = time.time(); np.asarray(lo(q, *rest))
-        t_lo = min(t_lo, time.time() - t0)
-        t0 = time.time(); np.asarray(hi(q, *rest))
-        t_hi = min(t_hi, time.time() - t0)
-    return (t_hi - t_lo) / (n_hi - n_lo), compile_s
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(run(q, *rest))
+        best = min(best, time.time() - t0)
+    return best, compile_s
 
 
 def main():
@@ -117,8 +110,9 @@ def main():
             chunk = max(1, _LOGITS_BYTES_LIMIT // (H * sq_pad * sk_pad * 4))
             report("einsumC", lambda q, k, v: _chunked_reference_attention(
                 q, k, v, bias=bias, chunk=chunk), q, k, v)
-        report("einsum", lambda q, k, v: _reference_attention(
-            q, k, v, bias=bias), q, k, v)
+        if B * H * sq_pad * sk_pad * 4 <= 4 << 30:  # full logits would OOM
+            report("einsum", lambda q, k, v: _reference_attention(
+                q, k, v, bias=bias), q, k, v)
         report("flash", lambda q, k, v: _flash_impl(
             q, k, v, bias, None), q, k, v)
 
