@@ -43,6 +43,14 @@ import numpy as np
 # JAX_PLATFORMS=axon, so setdefault would land the run on the TPU tunnel.
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax  # noqa: E402
+
+# the axon plugin registered by sitecustomize overrides the env var (it
+# prepends itself at interpreter start); pin the platform at config level
+# too or the "CPU" run silently rides the TPU tunnel (see tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
