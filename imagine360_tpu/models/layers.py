@@ -289,12 +289,15 @@ class MMDense(nn.Dense):
     pins row-major operands — see ops/pallas_dense.py). Param tree is
     byte-identical to nn.Dense, so checkpoints are unaffected.
 
-    OPT-IN via I360_PALLAS_DENSE=1: standalone the pallas kernel is ~par
-    with XLA's dot (faster at 640x640, slower at 320x320 where the 2.5-tile
-    lane pad bites); it can only win inside the full model where the layout
-    pathology appears, and that in-model measurement is still pending (the
-    tunneled TPU worker has been crashing on long scans). Off-TPU and by
-    default this IS nn.Dense.
+    OPT-IN via I360_PALLAS_DENSE=1, and measured NOT worth enabling:
+    the in-model A/B on TPU v5e (tools/measure_step.py, 16-step CFG dual
+    scan) gives 2.99 s/step ON vs 2.97 s/step OFF — XLA's in-context
+    layout choice is not the pathology the standalone probes suggested,
+    so the kernel buys nothing in-model. Default stays nn.Dense; the flag
+    and kernel remain for layout experiments on other configs. Standalone
+    the pallas kernel is ~par with XLA's dot (faster at 640x640, slower
+    at 320x320 where the 2.5-tile lane pad bites). Off-TPU and by default
+    this IS nn.Dense.
     """
 
     @nn.compact

@@ -17,8 +17,13 @@ between the two generated clips.
 
 Run at several step counts to get the divergence-vs-steps trend:
 
-    python tools/precision_ssim.py --steps 1 --frames 8 --out /tmp/s1.json
-    python tools/precision_ssim.py --steps 4 --frames 8 --out /tmp/s4.json
+    python tools/precision_ssim.py --steps 1 --out /tmp/s1.json
+    python tools/precision_ssim.py --steps 4 --out /tmp/s4.json
+
+frames must be >= 16 at production channels: the reference's video-IP
+TemporalProjection avg-pools frames by kernel 4 TWICE
+(animatediff/models/resampler.py:251,264), so F=8 reaches a length-2
+sequence and torch's avg_pool1d(kernel_size=4) errors.
 
 Defaults are the production geometry (512x1024 ERP, 256^2 views, M=20).
 Wall-clock note: both sides ride this host's AMX (torch bf16 GEMM ~0.7
@@ -420,7 +425,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pano-h", type=int, default=512)
     ap.add_argument("--pano-w", type=int, default=1024)
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--views", type=int, default=20)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--tiny-channels", action="store_true")
