@@ -142,13 +142,27 @@ def build_torch_side(kwargs, M, torch_dtype, seed=0):
     pano_unet = TorchUNet(**kwargs)
     tm = ref_mv.MultiViewBaseModel(pers_unet, pano_unet, pano_pad=True)
     tm.eval()
-    # zero-init projections would make WarpAttn/motion identity maps —
-    # give them signal so the coupling path is actually exercised
+    # zero-init projections would make WarpAttn/motion/fps identity maps —
+    # give them signal so every coupling path is actually exercised:
+    # - WarpAttn out/ff projections (transformer.py zero_module)
+    # - motion-module temporal_transformer.proj_out (motion_module.py:88)
+    # - fps_embedding.linear_2 (unet.py:168)
+    # The WithAdapter temporal-LoRA 'up' proj (motion_module.py:293) does
+    # NOT exist in this config: add_temporal_lora defaults False and the
+    # production kwargs never enable it — there is no inert path there.
     with torch.no_grad():
         for blk in (list(tm.cp_blocks_encoder) + [tm.cp_blocks_mid]
                     + list(tm.cp_blocks_decoder)):
             blk.transformer.attn1.to_out.weight.normal_(0, 0.02)
             blk.transformer.ff.net[2].weight.normal_(0, 0.02)
+        for unet in (pers_unet, pano_unet):
+            for name, mod in unet.named_modules():
+                if name.endswith("temporal_transformer"):
+                    mod.proj_out.weight.normal_(0, 0.02)
+                    mod.proj_out.bias.normal_(0, 0.02)
+            if hasattr(unet, "fps_embedding"):
+                unet.fps_embedding.linear_2.weight.normal_(0, 0.02)
+                unet.fps_embedding.linear_2.bias.normal_(0, 0.02)
     for mod in tm.modules():
         if hasattr(mod, "_use_memory_efficient_attention_xformers"):
             mod._use_memory_efficient_attention_xformers = True
@@ -186,13 +200,41 @@ def jax_vae(prod: bool):
                                    dtype="bfloat16"))
 
 
-def run(pano_h=512, pano_w=1024, frames=8, views=20, steps=4,
+def run(pano_h=512, pano_w=1024, frames=16, views=20, steps=4,
         prod_channels=True, guidance=7.5, chunk_rows=8, seed=7,
         jax_dtype="bfloat16", torch_dtype_name="bfloat16", log=print):
+    # reference TemporalProjection avg-pools frames /4 twice
+    # (resampler.py:251,264) and the SAM-feature tiling below repeats in
+    # 8-frame groups — enforce the harness's own documented constraints
+    assert frames % 8 == 0, f"frames must be a multiple of 8, got {frames}"
+    assert not prod_channels or frames >= 16, (
+        "production channels require frames >= 16 (reference "
+        "TemporalProjection double avg_pool1d(4) errors below that)")
     import refshim
     assert refshim.available(), "reference repo not mounted"
     refshim.install()
+    import torch
+    import xformers.ops as xops
+
+    # global monkeypatches are restored on exit so pytest-invoked runs
+    # don't leak pinned randomness into the rest of the session
+    saved = [("mea", xops, "memory_efficient_attention",
+              xops.memory_efficient_attention)]
     _chunked_stub_attention(chunk_rows)
+    try:
+        return _run_patched(
+            saved, pano_h=pano_h, pano_w=pano_w, frames=frames, views=views,
+            steps=steps, prod_channels=prod_channels, guidance=guidance,
+            seed=seed, jax_dtype=jax_dtype,
+            torch_dtype_name=torch_dtype_name, log=log)
+    finally:
+        for _, obj, attr, orig in saved:
+            setattr(obj, attr, orig)
+
+
+def _run_patched(saved, *, pano_h, pano_w, frames, views, steps,
+                 prod_channels, guidance, seed, jax_dtype,
+                 torch_dtype_name, log):
     import torch
 
     import jax
@@ -221,6 +263,14 @@ def run(pano_h=512, pano_w=1024, frames=8, views=20, steps=4,
     from diffusers.schedulers.scheduling_ddim import DDIMScheduler
     from diffusers.models.vae import DiagonalGaussianDistribution
 
+    saved.extend([
+        ("rand", ref_utils.random, "random", ref_utils.random.random),
+        ("ipn", ref_mv, "add_noise_to_condition",
+         ref_mv.add_noise_to_condition),
+        ("flush", ref_mv, "flush", ref_mv.flush),
+        ("vae_sample", DiagonalGaussianDistribution, "sample",
+         DiagonalGaussianDistribution.sample),
+    ])
     ref_utils.random.random = lambda: 1.0         # no antipodal flip
     ref_mv.add_noise_to_condition = lambda x, noise_level=0.1: x
     ref_mv.flush = lambda: None
