@@ -48,6 +48,56 @@ def weighted_linear_fit_pitch(pitches: Sequence[float],
     return (ym + slope * (x - xm)).astype(np.float32)
 
 
+def robust_fit_pitch(raw: Sequence[float], weights: Sequence[float],
+                     clamp_deg: float = 45.0, min_support: float = 0.5,
+                     max_resid_std: float = 5.0,
+                     max_scatter: float = 15.0) -> np.ndarray:
+    """Weighted linear fit with real-footage guards.
+
+    On the reference's own example clips (tools/elevation_real.py) the
+    bare weighted fit extrapolates wildly when horizon evidence is sparse
+    or scattered: cherryblossom (69% frames without a detection,
+    raw sigma 15.9 deg) fitted -54.8 -> +53.2 deg — beyond the per-frame
+    45-deg plausibility clamp — and indoor (raw sigma 20 deg, no true
+    horizon) fitted a confident 13.6 -> 31.2 deg ramp from noise. Guards:
+
+    - if fewer than `min_support` of the frames carry evidence, or the
+      weighted residual std of the detections against the fitted line
+      exceeds `max_resid_std` degrees, the slope is untrustworthy
+      extrapolation: fall back to a CONSTANT weighted-median pitch of the
+      detected frames (pitch trajectories in handheld/tripod clips are
+      near-constant; the reference's linear fit over GeoCalib estimates
+      relies on dense, consistent per-frame evidence it gets from a
+      learned model, inference_dual_p2e.py:286-291);
+    - the returned trajectory is clamped to +-clamp_deg (matching the
+      per-frame misdetection clamp in estimate_pitch_horizon).
+    """
+    y = np.asarray(raw, np.float64)
+    w = np.asarray(weights, np.float64)
+    n = len(y)
+    fit = weighted_linear_fit_pitch(raw, weights)
+    det = w > 0
+    if det.any():
+        # self-contradictory evidence (detections scattered tens of
+        # degrees — e.g. indoor furniture edges, raw sigma 20 deg on the
+        # reference's indoor.mp4) means there is no real horizon: zero
+        # pitch beats committing to a confident misdetection
+        ymu = np.average(y[det], weights=w[det])
+        scatter = float(np.sqrt(np.average((y[det] - ymu) ** 2,
+                                           weights=w[det])))
+        if scatter > max_scatter:
+            return np.zeros((n,), np.float32)
+        support = float(det.mean())
+        resid = y[det] - fit[det]
+        wstd = float(np.sqrt(np.average(resid ** 2, weights=w[det])))
+        if support < min_support or wstd > max_resid_std:
+            order = np.argsort(y[det])
+            cw = np.cumsum(w[det][order])
+            const = float(y[det][order][np.searchsorted(cw, 0.5 * cw[-1])])
+            fit = np.full((n,), const, np.float32)
+    return np.clip(fit, -clamp_deg, clamp_deg).astype(np.float32)
+
+
 def estimate_pitch_horizon(frame_u8: np.ndarray,
                            fov_deg: float = 90.0):
     """Self-contained single-frame pitch estimate (degrees) from the visual
@@ -135,8 +185,8 @@ class PitchEstimator:
                 raw = [float(self.estimator(f)) for f in frames_u8]
                 return linear_fit_pitch(raw)
             est = [estimate_pitch_horizon(f) for f in frames_u8]
-            return weighted_linear_fit_pitch([p for p, _ in est],
-                                             [w for _, w in est])
+            return robust_fit_pitch([p for p, _ in est],
+                                    [w for _, w in est])
         if raw_pitches is None:
             return np.zeros((n,), np.float32)
         return linear_fit_pitch(raw_pitches)

@@ -76,3 +76,38 @@ def test_horizon_estimator_accuracy():
     rmse = float(np.sqrt(np.mean(np.square(errs))))
     assert rmse < 2.0, rows
     assert max(errs) < 3.5, rows
+
+
+def test_robust_fit_guards():
+    """Real-footage guards (tools/elevation_real.py findings on the
+    reference's own example clips): sparse evidence must not extrapolate
+    (cherryblossom fitted -54 -> +53 deg from 5/16 detections), scattered
+    evidence must zero out (indoor: raw sigma 20 deg of furniture-edge
+    misdetections), and dense consistent evidence must keep the plain
+    weighted fit (the synthetic-eval regime)."""
+    from imagine360_tpu.pipeline.elevation import robust_fit_pitch
+
+    # dense + consistent: identical to the bare weighted fit
+    raw = np.linspace(-3.0, 3.0, 16)
+    w = np.ones(16)
+    fit = robust_fit_pitch(raw, w)
+    np.testing.assert_allclose(fit, weighted_linear_fit_pitch(raw, w),
+                               atol=1e-5)
+
+    # sparse noisy detections: constant (weighted median), clamped to 45
+    raw = np.zeros(16)
+    w = np.zeros(16)
+    raw[2], raw[13] = -40.0, 40.0
+    w[2], w[13] = 1.0, 1.1
+    fit = robust_fit_pitch(raw, w)
+    assert np.abs(fit).max() <= 45.0
+    assert np.allclose(fit, fit[0])       # constant, no extrapolated ramp
+
+    # scattered (self-contradictory) detections on every frame: zeros
+    rng = np.random.default_rng(0)
+    raw = rng.normal(20.0, 25.0, 16)
+    w = np.ones(16)
+    assert np.all(robust_fit_pitch(raw, w) == 0.0)
+
+    # no detections at all: zeros
+    assert np.all(robust_fit_pitch(np.zeros(8), np.zeros(8)) == 0.0)
