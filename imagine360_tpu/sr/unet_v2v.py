@@ -6,13 +6,15 @@ with concat/ControlNet conditioning (reference sr/video_to_video_model.py:
 s_cond, t_hint}). The module itself lives in the external VEnhancer
 repository (a ControlNet'd variant of the ModelScope/i2vgen-xl
 Vid2VidSDUNet, ~1.4B params) and is NOT part of the reference snapshot; its
-weights are an external download there too. This file is therefore a
-*structural* port — the architecture implemented from the public VEnhancer /
-ModelScope design, TPU-first (channels-last [B, F, H, W, C], fused GN, our
-attention dispatch), with a weight converter whose name map is best-effort
-against the public state_dict layout. Golden parity is deferred until real
-weights exist in some environment; sr/refiner.py's PanoRefiner remains the
-default no-weights engine.
+weights are an external download there too. This file is the architecture
+implemented from the public VEnhancer / ModelScope design, TPU-first
+(channels-last [B, F, H, W, C], fused GN, our attention dispatch).
+NUMERIC GOLDEN: tests/test_golden_v2v.py implements the ModelScope block
+semantics in plain torch with the public state_dict naming, runs
+convert_v2v over its state_dict (zero missing/unexpected keys), and
+asserts full-model forward parity at tiny config — the converter's name
+map is validated end-to-end, not best-effort. sr/refiner.py's PanoRefiner
+remains the default no-weights engine.
 
 Architecture contract (public VEnhancer defaults):
   dim 320, dim_mult (1,2,4,4), 2 res blocks/level, spatial+temporal
@@ -670,10 +672,15 @@ def convert_v2v(state_dict, cfg: V2VConfig = V2VConfig()) -> dict:
                 if nm:
                     base, kind = nm
                     if kind == "conv":
-                        leaf = rest
-                        mapped = (f"{base}."
-                                  f"{'kernel' if leaf == 'weight' else 'bias'}",
-                                  "conv" if leaf == "weight" else "raw")
+                        # init conv keys are bare weight/bias; Downsample
+                        # wraps its conv as `op.` (ModelScope Downsample:
+                        # self.op = Conv2d) — strip it, reject other tails
+                        leaf = rest[3:] if rest.startswith("op.") else rest
+                        if leaf in ("weight", "bias"):
+                            mapped = (
+                                f"{base}."
+                                f"{'kernel' if leaf == 'weight' else 'bias'}",
+                                "conv" if leaf == "weight" else "raw")
                     elif kind == "res":
                         mapped = map_res(rest, base)
                     else:
