@@ -229,6 +229,56 @@ STAGES = {"denoise": stage_denoise, "vae": stage_vae, "sam": stage_sam}
 # orchestrator
 # --------------------------------------------------------------------------
 
+def _ici_comm_model(n=8, frames=16, cfg_batch=2, M=20, steps=50):
+    """Analytic ICI communication model for the v5e-8 projection.
+
+    On the ('view',) mesh the perspective branch shards the folded
+    CFGxviews batch and the pano branch shards latent height
+    (parallel/mesh.py). The only cross-device data motion in the denoise
+    step is at the 7 WarpAttn sites: direction 1 (pano queries) all-gathers
+    the perspective K/V features over the view axis; direction 2
+    (perspective queries) all-gathers the pano K/V rows over the H shards.
+    Per-step bytes are computed from the architecture (bf16 activations,
+    site channels = SD2.1 block_out_channels walk, tokens = latent hw at
+    each site's scale); bias masks are replicated constants (no comm).
+
+    Timing assumptions (documented so the projection is auditable):
+    - v5e ICI ~45 GB/s per link per direction; a ring all-gather on an
+      8-chip slice uses 2 links bidirectionally => ~90 GB/s effective
+      per-device ingest; each device receives (n-1)/n of the gathered
+      bytes.
+    - a conservative 0.7 collective efficiency (scheduling, small-message
+      latency, imperfect compute/comm overlap) for the upper bound; the
+      lower bound assumes full overlap with compute (comm cost 0).
+    - one-time conditioning->denoise reshard (latents, ip tokens, text:
+      ~50 MB) amortized over the clip.
+    """
+    boc = (320, 640, 1280, 1280)
+    rev = list(reversed(boc))
+    # (scale, channels) per site: enc_0..2 after each downsample, mid,
+    # dec_0..2 before each upsample (models/dual.py warp_sites)
+    sites = ([(2 ** (i + 1), boc[i]) for i in range(3)]
+             + [(8, boc[-1])]
+             + [(8 // (2 ** i), rev[i]) for i in range(3)])
+    bF = cfg_batch * frames
+    per_step = 0
+    for s, C in sites:
+        pers_tokens = M * (32 // s) * (32 // s)
+        equi_tokens = (64 // s) * (128 // s)
+        per_step += bF * (pers_tokens + equi_tokens) * C * 2  # bf16 K+? K/V
+    # K AND V are both gathered
+    per_step *= 2
+    ring_bw = 2 * 45e9
+    t_step_comm = per_step * (n - 1) / n / ring_bw
+    reshard_s = 50e6 * (n - 1) / n / ring_bw
+    return {
+        "warp_allgather_bytes_per_step": per_step,
+        "comm_s_per_step_ring": t_step_comm,
+        "comm_s_per_clip_at_070_eff": steps * t_step_comm / 0.7 + reshard_s,
+        "reshard_once_s": reshard_s,
+    }
+
+
 def _load_cache():
     try:
         with open(CACHE_PATH) as f:
@@ -372,23 +422,43 @@ def main():
         "vae_encode_s": round(float(pano_encode_s + pers_encode_s), 3),
         "sam_encode_s": round(float(sam_s), 3),
         "compile_s": round(float(den.get("compile_s", 0.0)), 1),
-        "projected_v5e8_s": round(
-            float(total_steps * step_s / 8
-                  + (decode_s + pano_encode_s + pers_encode_s + sam_s) / 8),
-            3),
-        "projection_basis": "all stages mesh-sharded: XLA's per-device "
-                            "cost analysis divides the denoise step's "
-                            "FLOPs 7.83x (scripts/sharded_flops.py; pers "
-                            "batch + pano latent-H sharded) and the "
-                            "SAM/VAE conditioning stages 8.00x "
-                            "(scripts/conditioning_flops.py; frame-axis "
-                            "sharded) on an 8-device mesh; sharded "
-                            "execution proven on virtual mesh "
-                            "(tests/test_mesh_parity.py, "
-                            "tests/test_sharded_conditioning.py), real "
-                            "multi-chip hardware unavailable here",
         "device": den.get("device", "unknown"),
     }
+    # v5e-8 projection as a [compute-bound, comm-adjusted] RANGE (VERDICT
+    # r3 item 4): compute divides by XLA's per-device FLOP analysis (7.83x
+    # denoise — scripts/sharded_flops.py; 8.00x conditioning —
+    # scripts/conditioning_flops.py); the conservative end adds the
+    # analytic ICI term for the WarpAttn K/V all-gathers (7 sites x 50
+    # steps) + the one-time conditioning reshard at 0.7 collective
+    # efficiency (_ici_comm_model). The HEADLINE quotes the conservative
+    # end. Sharded execution is proven functionally on the 8-virtual-
+    # device mesh (tests/test_mesh_parity.py, dryrun_multichip at the
+    # production layout); real multi-chip hardware is unavailable here,
+    # so this is a model, not a measurement.
+    comm = _ici_comm_model(steps=total_steps)
+    cond_s = decode_s + pano_encode_s + pers_encode_s + sam_s
+    proj_lo = total_steps * step_s / 7.83 + cond_s / 8.0
+    proj_hi = proj_lo + comm["comm_s_per_clip_at_070_eff"]
+    detail["projected_v5e8_s"] = round(float(proj_hi), 3)
+    detail["projected_v5e8_range_s"] = [round(float(proj_lo), 3),
+                                        round(float(proj_hi), 3)]
+    detail["ici_model"] = {
+        "warp_allgather_GB_per_step": round(
+            comm["warp_allgather_bytes_per_step"] / 1e9, 3),
+        "comm_s_per_step_ring": round(comm["comm_s_per_step_ring"], 5),
+        "comm_s_per_clip_at_070_eff": round(
+            comm["comm_s_per_clip_at_070_eff"], 3),
+        "assumptions": "v5e ICI 45 GB/s/link/dir, bidirectional ring "
+                       "(2 links) = 90 GB/s/device; (n-1)/n gathered; "
+                       "0.7 efficiency on the conservative end; lower "
+                       "bound assumes full comm/compute overlap",
+    }
+    detail["projection_basis"] = (
+        "compute: XLA per-device FLOP division 7.83x denoise / 8.00x "
+        "conditioning on the 8-device mesh; comm: analytic WarpAttn K/V "
+        "all-gather bytes (see ici_model); functional proof on virtual "
+        "mesh (tests/test_mesh_parity.py, production-layout "
+        "dryrun_multichip); real multi-chip hardware unavailable here")
     if degraded:
         detail["degraded"] = degraded
     print(json.dumps({
