@@ -83,12 +83,23 @@ class InflatedConv(nn.Module):
             "kernel", nn.initializers.zeros if self.kernel_init_zero
             else nn.initializers.lecun_normal(),
             (k, k, x.shape[-1], self.features), jnp.float32)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if k == 1 and self.stride == 1 and self.padding == 0:
+            # 1x1 conv as a flattened matmul: identical math, but the
+            # conv form at stage-0 shapes gets the rotated-layout
+            # batch-in-window emitter (~48 TF/s) inside the denoise scan
+            # (r4 HLO: the up_blocks_3 conv_shortcuts), while the [N, C]
+            # dot compiles to a clean MXU matmul
+            N, Hs, Ws, C = x.shape
+            y = jnp.dot(x.astype(self.dtype).reshape(N * Hs * Ws, C),
+                        kernel[0, 0].astype(self.dtype))
+            y = y.reshape(N, Hs, Ws, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(self.padding, self.padding)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)
@@ -229,9 +240,12 @@ class Attention(nn.Module):
         if context is None:
             context = x
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_q"), x)
+        k = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k"), context)
+        v = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v"), context)
         B, Sq = q.shape[0], q.shape[1]
         Sk = k.shape[1]
         q = q.reshape(B, Sq, self.heads, self.dim_head)
@@ -241,9 +255,9 @@ class Attention(nn.Module):
         out = out.reshape(B, Sq, inner)
         init = nn.initializers.zeros if self.out_zero_init \
             else nn.initializers.lecun_normal()
-        return nn.Dense(self.query_dim, use_bias=self.out_bias,
-                        kernel_init=init, dtype=self.dtype,
-                        name="to_out_0")(out)
+        return flat2d(nn.Dense(self.query_dim, use_bias=self.out_bias,
+                               kernel_init=init, dtype=self.dtype,
+                               name="to_out_0"), out)
 
 
 class IPCrossAttention(nn.Module):
@@ -259,11 +273,16 @@ class IPCrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x, text_context, ip_context):
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(text_context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(text_context)
-        k_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k_ip")(ip_context)
-        v_ip = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v_ip")(ip_context)
+        q = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_q"), x)
+        k = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_k"), text_context)
+        v = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                            name="to_v"), text_context)
+        k_ip = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                               name="to_k_ip"), ip_context)
+        v_ip = flat2d(nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                               name="to_v_ip"), ip_context)
 
         B, Sq = q.shape[0], q.shape[1]
         qh = q.reshape(B, Sq, self.heads, self.dim_head)
@@ -277,7 +296,8 @@ class IPCrossAttention(nn.Module):
             ).reshape(B, Sq, inner)
 
         out = attend(k, v) + self.scale * attend(k_ip, v_ip)
-        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
+        return flat2d(nn.Dense(self.query_dim, dtype=self.dtype,
+                               name="to_out_0"), out)
 
 
 class MMDense(nn.Dense):
@@ -329,14 +349,18 @@ class MMDense(nn.Dense):
 
 
 def flat2d(fn, x):
-    """Apply a per-token fn on tokens flattened to [N, C] (opt-in via
-    I360_FLAT_DENSE): reshapes are free only under row-major layouts, so
-    the flatten anchors XLA's layout assignment to row-major around these
-    matmuls — a countermeasure to the token-minor layouts the TPU layout
-    assigner sometimes picks inside the full model, which turn adjacent
-    Denses into window=B correlation lowerings (see STATUS.md)."""
+    """Apply a per-token fn on tokens flattened to [N, C].
+
+    DEFAULT-ON (opt out via I360_NO_FLAT_DENSE). Root-caused r4: XLA
+    lowers a [B, S, C] x [C, C'] dot_general inside lax.scan to a
+    batch-in-window CONVOLUTION (window=B, dim_labels=fb0_0oi->0fb) at
+    ~48 TF/s with rotated {1,2,0} output layouts — a 3x slowdown vs the
+    same dot on [B*S, C], which compiles to a clean matmul (minimal
+    repro: a bare scanned jnp.dot at [32, 8192, 320] bf16 reproduces;
+    the flattened form does not). Flattening is free (row-major reshape)
+    and anchors layout assignment to row-major around every projection."""
     import os
-    if x.ndim <= 2 or not os.environ.get("I360_FLAT_DENSE"):
+    if x.ndim <= 2 or os.environ.get("I360_NO_FLAT_DENSE"):
         return fn(x)
     lead = x.shape[:-1]
     y = fn(x.reshape(-1, x.shape[-1]))

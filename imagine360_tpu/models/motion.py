@@ -13,7 +13,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import (FeedForward, GroupNorm,
+from .layers import (FeedForward, GroupNorm, flat2d,
                      sinusoidal_position_table, Dtype, LayerNorm)
 from ..ops.attention import temporal_attention
 
@@ -29,6 +29,11 @@ class _NaturalFrameAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.heads * (self.query_dim // self.heads)
+        # NOTE: deliberately NOT flat2d-wrapped. These denses feed the
+        # temporal pallas kernel's natural 4D layout directly and compile
+        # clean; wrapping them makes XLA fuse the dot with the kernel's
+        # [B,F,T,G,C] reshape into a rotated-layout batch-window conv
+        # (r4 HLO A/B: clean unwrapped, 6 poisoned convs/site wrapped).
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)

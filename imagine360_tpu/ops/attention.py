@@ -266,6 +266,44 @@ def _flash_trainable_bwd(scale, res, g):
 _flash_attention_trainable.defvjp(_flash_trainable_fwd, _flash_trainable_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _mh_attention_trainable(scale, heads, q, k, v):
+    """No-bias long-sequence sites in the NATURAL [B, S, H*D] layout (the
+    pano spatial self-attention at 8192 tokens, SAM global attention).
+    The primal (inference) path runs mh_flash_attention, whose call sites
+    carry only free reshapes — unlike the transposed flash route whose
+    [B,S,H,D]->[B,H,S,D] dim-permutes fold into layout-rotating bitcasts
+    that demote every surrounding stage-0 matmul to ~48 TF/s
+    batch-in-sublanes convolutions (r4 HLO profile). The differentiated
+    path reuses the streaming flash fwd/bwd kernels (lse-carrying), so
+    training memory is unchanged."""
+    from .pallas_attention import mh_flash_attention
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    out = mh_flash_attention(q.reshape(B, Sq, H * D),
+                             k.reshape(B, Sk, H * D),
+                             v.reshape(B, Sk, H * D),
+                             scale, heads, interpret=_interpret())
+    return out.reshape(B, Sq, H, D)
+
+
+def _mh_trainable_fwd(scale, heads, q, k, v):
+    from .pallas_attention import flash_attention_fwd_res
+    out, lse = flash_attention_fwd_res(q, k, v, bias=None, scale=scale,
+                                       interpret=_interpret())
+    return out, (q, k, v, out, lse)
+
+
+def _mh_trainable_bwd(scale, heads, res, g):
+    from .pallas_attention import flash_attention_bwd
+    q, k, v, out, lse = res
+    return flash_attention_bwd(q, k, v, None, out, lse, g, scale=scale,
+                               interpret=_interpret())
+
+
+_mh_attention_trainable.defvjp(_mh_trainable_fwd, _mh_trainable_bwd)
+
+
 # shared-bias kernel tile config (winner of scripts/warp_lab.py on v5e:
 # transposed layout, T=64 folded rows, 1024-blocks — 1.9x over the v1
 # [S, D]-block kernel on the biggest warp site)
@@ -504,6 +542,18 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             and Sq >= 256 and Sk >= 256 and (B * H) % 8 == 0
             and not os.environ.get("I360_NO_SHARED_BIAS")):
         return _shared_attention_trainable(fscale, q, k, v, bias, bias_t)
+    # natural-layout multi-head flash for no-bias long sequences: no
+    # boundary transposes -> no layout poison on the surrounding matmuls.
+    # Sk >= 64 (not 256): long-query/short-kv sites (pano text/ip cross
+    # attention, Sq 8192 x Sk 141) otherwise fall to the chunked-einsum
+    # path, whose layout-flexible XLA dots can request the rotated
+    # S-on-lanes activation layout for the whole surrounding stage
+    if (on_tpu and bias is None and Sq >= 256 and Sk >= 64 and D % 8 == 0
+            and not os.environ.get("I360_NO_MH_FLASH")):
+        try:
+            return _mh_attention_trainable(fscale, H, q, k, v)
+        except Exception:
+            pass  # fall through to the transposed flash route
     # flash kernel for long-kv sequences (never materializes [Sq, Sk])
     if on_tpu and Sq >= 256 and Sk >= 256:
         try:

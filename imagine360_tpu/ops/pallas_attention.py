@@ -405,14 +405,15 @@ def tiny_packed_attention(q, k, v, bias, scale, heads, interpret=False,
 def _striped_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D, G,
                     F):
     """Temporal (frame-axis) attention consumed in the NATURAL video
-    activation layout: blocks are [1, F, G, C] slices of [B, F, HW, C].
-    Flattening (F, G) -> F*G is a free row-major reshape, giving a packed
-    sequence whose row f*G+g interleaves G spatial locations; under the
-    striped bias (0 iff i==j mod G) softmax over the packed axis equals G
-    independent per-location softmaxes over frames. Unlike the g-major
-    packing this needs NO host-side layout transpose (the former block-diag
-    path forced XLA into lane-major activation layouts that poisoned every
-    adjacent matmul)."""
+    activation layout: blocks are [1, F, G, C] column slices of the 4D
+    [B, F, HW, C] activations — no host-side reshape exists at all (the
+    former 5D [B,F,T,G,C] host reshape gave XLA's algebraic simplifier a
+    seam to re-fuse the producing qkv dots into rotated-layout
+    batch-window convolutions, r4 HLO). Flattening (F, G) -> F*G in-kernel
+    is a free row-major reshape, giving a packed sequence whose row f*G+g
+    interleaves G spatial locations; under the striped bias (0 iff
+    i==j mod G) softmax over the packed axis equals G independent
+    per-location softmaxes over frames."""
     bias = b_ref[0].astype(jnp.float32)                    # [F*G, F*G]
     S = F * G
     qp = q_ref[0].reshape(S, H * D)
@@ -430,7 +431,7 @@ def _striped_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D, G,
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
         o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        o_ref[0, :, 0, :, h * D:(h + 1) * D] = o.astype(o_ref.dtype).reshape(
+        o_ref[0, :, :, h * D:(h + 1) * D] = o.astype(o_ref.dtype).reshape(
             F, G, D)
 
 
@@ -459,23 +460,127 @@ def temporal_packed_attention(q, k, v, scale, heads, G, interpret=False):
     bias = jnp.asarray(_striped_bias(G, F))
     kernel = functools.partial(_striped_kernel, scale=scale, H=heads, D=D,
                                G=G, F=F)
-    q5 = q.reshape(B, F, T, G, C)
-    k5 = k.reshape(B, F, T, G, C)
-    v5 = v.reshape(B, F, T, G, C)
-    spec = pl.BlockSpec((1, F, 1, G, C), lambda b, t: (b, 0, t, 0, 0))
+    # block directly over the HW axis of the 4D activations (no host-side
+    # 5D reshape — see _striped_kernel docstring)
+    spec = pl.BlockSpec((1, F, G, C), lambda b, t: (b, 0, t, 0))
     out = pl.pallas_call(
         kernel,
         grid=(B, T),
         in_specs=[spec, spec, spec,
                   pl.BlockSpec((1, F * G, F * G), lambda b, t: (0, 0, 0))],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, F, T, G, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, F, HW, C), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q5, k5, v5, bias)
-    return out.reshape(B, F, HW, C)
+    )(q, k, v, bias)
+    return out
+
+
+def _mh_flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                     scale, nk, bk, H, D, Sk):
+    """Natural-layout multi-head flash kernel: blocks arrive as
+    [1, bq|bk, H*D] slices of the [B, S, H*D] activations — the exact
+    layout the QKV projections produce — and heads are static lane slices
+    inside the kernel. No host-side [B,S,H,D]->[B,H,S,D] transposes exist
+    around this kernel, which matters more than the kernel body: those
+    transposes are pure dim-permutations that XLA layout assignment folds
+    into BITCASTS, rotating the physical layout of the whole surrounding
+    stage (sequence minor-most) and turning every adjacent matmul into a
+    ~48 TF/s batch-in-sublanes convolution (per-HLO profile, r4). Dots run
+    in the input dtype (bf16 hot path) with f32 accumulation; streaming
+    softmax state is per-head in lane-sliced scratch."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    kmask = Sk % bk != 0
+    for h in range(H):
+        q = q_ref[0, :, h * D:(h + 1) * D]            # [bq, D]
+        k = k_ref[0, :, h * D:(h + 1) * D]            # [bk, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale                                  # [bq, bk] f32
+        if kmask:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * bk
+            s = jnp.where(col < Sk, s, NEG_INF)
+
+        m_prev = m_scr[h, :, :1]                       # [bq, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_scr[h, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, :, h * D:(h + 1) * D]            # [bk, D]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        cols = slice(h * D, (h + 1) * D)
+        acc_scr[:, cols] = acc_scr[:, cols] * alpha + pv
+        m_scr[h] = jnp.broadcast_to(m_new, m_scr.shape[1:])
+        l_scr[h] = jnp.broadcast_to(l_new, l_scr.shape[1:])
+
+        @pl.when(ik == nk - 1)
+        def _done():
+            denom = l_scr[h, :, :1]
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            o_ref[0, :, cols] = (acc_scr[:, cols] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "block_q",
+                                             "block_k", "interpret"))
+def mh_flash_attention(q, k, v, scale, heads, block_q=None, block_k=None,
+                       interpret=False):
+    """Flash attention in the NATURAL activation layout. q [B, Sq, H*D],
+    k/v [B, Sk, H*D]; returns [B, Sq, H*D] in q.dtype. The replacement for
+    the transposed `_flash_bhsd` route on no-bias sites: the [B,S,H,D]
+    reshapes at the call sites are free (row-major), so the whole
+    attention op neither forces nor propagates a rotated layout."""
+    B, Sq, C = q.shape
+    Sk = k.shape[1]
+    D = C // heads
+    assert C == heads * D, (C, heads)
+    if block_q is None:
+        block_q = 1024 if min(Sq, Sk) >= 2048 else 512
+    if block_k is None:
+        block_k = 1024 if min(Sq, Sk) >= 2048 else 512
+    bq = min(block_q, max(128, 1 << (Sq - 1).bit_length()))
+    bk = min(block_k, max(128, 1 << (Sk - 1).bit_length()))
+
+    qp = _pad_to(q, 1, bq)
+    kp = _pad_to(k, 1, bk)
+    vp = _pad_to(v, 1, bk)
+    Sqp, Skp = qp.shape[1], vp.shape[1]
+    nq, nk = Sqp // bq, Skp // bk
+
+    kernel = functools.partial(_mh_flash_kernel, scale=scale, nk=nk, bk=bk,
+                               H=heads, D=D, Sk=Sk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, C), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, bk, C), lambda b, iq, ik: (b, ik, 0)),
+            pl.BlockSpec((1, bk, C), lambda b, iq, ik: (b, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Sqp, C), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((heads, bq, 128), jnp.float32),
+            pltpu.VMEM((heads, bq, 128), jnp.float32),
+            pltpu.VMEM((bq, C), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Sq]
 
 
 def _shared_bias_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref,
