@@ -229,18 +229,24 @@ STAGES = {"denoise": stage_denoise, "vae": stage_vae, "sam": stage_sam}
 # orchestrator
 # --------------------------------------------------------------------------
 
-def _ici_comm_model(n=8, frames=16, cfg_batch=2, M=20, steps=50):
+def _ici_comm_model(n=8, frames=16, cfg_batch=2, M=20, steps=50,
+                    boc=(320, 640, 1280, 1280), pers_hw=(32, 32),
+                    equi_hw=(64, 128), dtype_bytes=2, layers_per_block=2):
     """Analytic ICI communication model for the v5e-8 projection.
 
     On the ('view',) mesh the perspective branch shards the folded
     CFGxviews batch and the pano branch shards latent height
     (parallel/mesh.py). The only cross-device data motion in the denoise
-    step is at the 7 WarpAttn sites: direction 1 (pano queries) all-gathers
-    the perspective K/V features over the view axis; direction 2
-    (perspective queries) all-gathers the pano K/V rows over the H shards.
-    Per-step bytes are computed from the architecture (bf16 activations,
-    site channels = SD2.1 block_out_channels walk, tokens = latent hw at
-    each site's scale); bias masks are replicated constants (no comm).
+    step is at the 2*len(boc)-1 WarpAttn sites: direction 1 (pano queries)
+    all-gathers the perspective K/V features over the view axis;
+    direction 2 (perspective queries) all-gathers the pano K/V rows over
+    the H shards. Per-step bytes are computed from the architecture (bf16
+    activations, site channels = the block_out_channels walk, tokens =
+    latent hw at each site's scale); bias masks are replicated constants
+    (no comm). The byte accounting is VALIDATED against the collective ops
+    GSPMD actually emits for the sharded single-step HLO at the dryrun
+    layout — scripts/hlo_comm_bytes.py sums the compiled all-gather output
+    bytes and reconciles them with this function at the same shapes.
 
     Timing assumptions (documented so the projection is auditable):
     - v5e ICI ~45 GB/s per link per direction; a ring all-gather on an
@@ -253,26 +259,48 @@ def _ici_comm_model(n=8, frames=16, cfg_batch=2, M=20, steps=50):
     - one-time conditioning->denoise reshard (latents, ip tokens, text:
       ~50 MB) amortized over the clip.
     """
-    boc = (320, 640, 1280, 1280)
+    nb = len(boc)
     rev = list(reversed(boc))
-    # (scale, channels) per site: enc_0..2 after each downsample, mid,
-    # dec_0..2 before each upsample (models/dual.py warp_sites)
-    sites = ([(2 ** (i + 1), boc[i]) for i in range(3)]
-             + [(8, boc[-1])]
-             + [(8 // (2 ** i), rev[i]) for i in range(3)])
+    deepest = 2 ** (nb - 1)
+    # (scale, channels) per site: enc_i after each downsample, mid,
+    # dec_i before each upsample (models/dual.py warp_sites)
+    sites = ([(2 ** (i + 1), boc[i]) for i in range(nb - 1)]
+             + [(deepest, boc[-1])]
+             + [(deepest // (2 ** i), rev[i]) for i in range(nb - 1)])
     bF = cfg_batch * frames
-    per_step = 0
+    PH, PW = pers_hw
+    EH, EW = equi_hw
+    warp = 0
     for s, C in sites:
-        pers_tokens = M * (32 // s) * (32 // s)
-        equi_tokens = (64 // s) * (128 // s)
-        per_step += bF * (pers_tokens + equi_tokens) * C * 2  # bf16 K+? K/V
+        pers_tokens = M * (PH // s) * (PW // s)
+        equi_tokens = (EH // s) * (EW // s)
+        warp += bF * (pers_tokens + equi_tokens) * C * dtype_bytes
     # K AND V are both gathered
-    per_step *= 2
+    warp *= 2
+    # pano spatial SELF-attention on the H-sharded pano branch: every
+    # Transformer3DModel self-attn gathers its K and V over the H shards
+    # (text/ip cross-attn K/V are replicated — no comm). Term discovered
+    # by the HLO validation (scripts/hlo_comm_bytes.py): the [bF, S, C]
+    # K/V all-gathers are ~40% of the step's collective bytes at the
+    # dryrun layout. Site walk: down blocks 0..nb-2 (layers each, scale
+    # 2^i), mid (1, deepest), up blocks (layers+1 each, mirrored).
+    pano_attn = 0
+    attn_sites = ([(2 ** i, boc[i], layers_per_block)
+                   for i in range(nb - 1)]
+                  + [(deepest, boc[-1], 1)]
+                  + [(2 ** (nb - 2 - i), rev[i + 1], layers_per_block + 1)
+                     for i in range(nb - 1)])
+    for s, C, cnt in attn_sites:
+        S = (EH // s) * (EW // s)
+        pano_attn += cnt * 2 * bF * S * C * dtype_bytes   # K and V
+    per_step = warp + pano_attn
     ring_bw = 2 * 45e9
     t_step_comm = per_step * (n - 1) / n / ring_bw
     reshard_s = 50e6 * (n - 1) / n / ring_bw
     return {
-        "warp_allgather_bytes_per_step": per_step,
+        "warp_allgather_bytes_per_step": warp,
+        "pano_attn_allgather_bytes_per_step": pano_attn,
+        "allgather_bytes_per_step": per_step,
         "comm_s_per_step_ring": t_step_comm,
         "comm_s_per_clip_at_070_eff": steps * t_step_comm / 0.7 + reshard_s,
         "reshard_once_s": reshard_s,
@@ -445,6 +473,8 @@ def main():
     detail["ici_model"] = {
         "warp_allgather_GB_per_step": round(
             comm["warp_allgather_bytes_per_step"] / 1e9, 3),
+        "pano_attn_allgather_GB_per_step": round(
+            comm["pano_attn_allgather_bytes_per_step"] / 1e9, 3),
         "comm_s_per_step_ring": round(comm["comm_s_per_step_ring"], 5),
         "comm_s_per_clip_at_070_eff": round(
             comm["comm_s_per_clip_at_070_eff"], 3),
@@ -453,6 +483,20 @@ def main():
                        "0.7 efficiency on the conservative end; lower "
                        "bound assumes full comm/compute overlap",
     }
+    # HLO validation of the byte model (VERDICT r4 item 5): compiled
+    # collective bytes at the dryrun layout vs the same formula
+    # (scripts/hlo_comm_bytes.py writes outputs/hlo_comm.json)
+    try:
+        with open(os.path.join(REPO, "outputs", "hlo_comm.json")) as f:
+            v = json.load(f)
+        detail["ici_model"]["hlo_validation"] = {
+            "ratio_hlo_over_model": round(v["ratio_hlo_over_model"], 3),
+            "basis": "GSPMD all-gather output bytes of the sharded "
+                     "single-step HLO at the dryrun layout "
+                     "(scripts/hlo_comm_bytes.py)",
+        }
+    except Exception:
+        pass
     detail["projection_basis"] = (
         "compute: XLA per-device FLOP division 7.83x denoise / 8.00x "
         "conditioning on the 8-device mesh; comm: analytic WarpAttn K/V "

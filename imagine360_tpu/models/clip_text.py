@@ -104,6 +104,86 @@ class CLIPTextModel(nn.Module):
                          name="final_layer_norm")(x)
 
 
+def convert_openclip_text(state_dict, num_layers: int = 23) -> dict:
+    """open_clip-format ViT-H text tower -> flat flax params for
+    CLIPTextModel.
+
+    The reference SR encodes prompts with FrozenOpenCLIPEmbedder
+    (reference sr/video_to_video_model.py:36-38,74,118), i.e. open_clip
+    ViT-H-14's text transformer run to the PENULTIMATE block (23 of 24)
+    followed by ln_final — mathematically identical to the SD2.1
+    CLIPTextModel this module implements. This converter maps open_clip
+    naming (token_embedding.weight, transformer.resblocks.N.*, ln_final)
+    onto the flax tree, splits the fused in_proj qkv, DROPS resblocks
+    >= num_layers (penultimate semantics) and the non-text keys
+    (visual.*, logit_scale, text_projection, attn_mask).
+    """
+    import re
+
+    from ..utils.convert import _to_numpy
+
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("model."):       # FrozenOpenCLIPEmbedder prefix
+            k = k[len("model."):]
+        if (k.startswith("visual.") or k in ("logit_scale",
+                                             "text_projection", "attn_mask")
+                or k.endswith(".attn_mask")):
+            continue
+        m = re.match(r"transformer\.resblocks\.(\d+)\.(.*)", k)
+        arr = _to_numpy(v)
+        if m:
+            i, rest = int(m.group(1)), m.group(2)
+            if i >= num_layers:
+                continue                  # penultimate: skip final block(s)
+            base = f"layers_{i}."
+            if rest == "attn.in_proj_weight":
+                for name, part in zip(("q_proj", "k_proj", "v_proj"),
+                                      np.split(arr, 3, axis=0)):
+                    out[base + f"self_attn.{name}.kernel"] = part.T
+                continue
+            if rest == "attn.in_proj_bias":
+                for name, part in zip(("q_proj", "k_proj", "v_proj"),
+                                      np.split(arr, 3, axis=0)):
+                    out[base + f"self_attn.{name}.bias"] = part
+                continue
+            rest = rest.replace("attn.out_proj", "self_attn.out_proj")
+            rest = rest.replace("ln_1", "layer_norm1")
+            rest = rest.replace("ln_2", "layer_norm2")
+            rest = rest.replace("mlp.c_fc", "fc1")
+            rest = rest.replace("mlp.c_proj", "fc2")
+            k = base + rest
+        else:
+            k = k.replace("token_embedding.weight",
+                          "token_embedding.embedding")
+            k = k.replace("positional_embedding", "position_embedding")
+            k = k.replace("ln_final", "final_layer_norm")
+        if k.endswith(".weight"):
+            base = k[:-len(".weight")]
+            if arr.ndim == 2:
+                out[base + ".kernel"] = arr.T
+            elif "token_embedding" in k:   # pragma: no cover - renamed above
+                out[base + ".embedding"] = arr
+            else:
+                out[base + ".scale"] = arr
+        else:
+            out[k] = arr
+    return out
+
+
+def openclip_tokenize(hf_tokenizer, text: str,
+                      context_length: int = 77) -> np.ndarray:
+    """open_clip.tokenize semantics via a HF CLIPTokenizer (same BPE vocab):
+    [sot] + bpe(text) + [eot], then ZERO padding — open_clip pads with 0
+    where HF/SD pads with the eos id; the reference SR conditions on
+    open_clip's convention (sr/video_to_video_model.py:74)."""
+    ids = hf_tokenizer(text, truncation=True, max_length=context_length,
+                       add_special_tokens=True)["input_ids"]
+    out = np.zeros((context_length,), np.int32)
+    out[:len(ids)] = ids
+    return out
+
+
 def convert_hf_clip_text(state_dict) -> dict:
     """transformers CLIPTextModel state_dict -> flat flax params."""
     import re

@@ -83,7 +83,9 @@ class InflatedConv(nn.Module):
             "kernel", nn.initializers.zeros if self.kernel_init_zero
             else nn.initializers.lecun_normal(),
             (k, k, x.shape[-1], self.features), jnp.float32)
-        if k == 1 and self.stride == 1 and self.padding == 0:
+        from ..ops.dispatch import kernel_config
+        if (k == 1 and self.stride == 1 and self.padding == 0
+                and kernel_config().conv1x1_matmul):
             # 1x1 conv as a flattened matmul: identical math, but the
             # conv form at stage-0 shapes gets the rotated-layout
             # batch-in-window emitter (~48 TF/s) inside the denoise scan
@@ -138,13 +140,13 @@ def fast_group_norm(x, num_groups: int, epsilon: float, gamma, beta):
 
     x: [N, ...spatial..., C]; stats per (n, group) over spatial x C/G.
     """
-    import os
+    from ..ops.dispatch import kernel_config
     N, C = x.shape[0], x.shape[-1]
     G = num_groups
     xf = x.reshape(N, -1, C)
     ind = jnp.asarray(_group_indicator(C, G))
     x32 = xf.astype(jnp.float32)
-    if os.environ.get("I360_GN_MMSTATS"):
+    if kernel_config().gn_mmstats:
         # token reduction as an MXU matmul with a ones vector: the plain
         # jnp.sum over the token axis biases XLA's layout assignment
         # toward token-minor activation layouts inside the full model,
@@ -205,7 +207,7 @@ class _FastGN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
+        from ..ops.dispatch import kernel_config
         C = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
@@ -216,7 +218,7 @@ class _FastGN(nn.Module):
         # many-row/moderate-spatial UNet shapes (3.4 -> 2.6 ms at r1); the
         # flax reshape path wins for few-row/huge-spatial VAE decode shapes
         # (10.1 vs 12.1 s full decode)
-        if os.environ.get("I360_FLAX_GN") or spatial > 16384:
+        if kernel_config().flax_gn or spatial > 16384:
             h = nn.GroupNorm(num_groups=self.num_groups,
                              epsilon=self.epsilon, use_bias=False,
                              use_scale=False)(x)
@@ -309,28 +311,28 @@ class MMDense(nn.Dense):
     pins row-major operands — see ops/pallas_dense.py). Param tree is
     byte-identical to nn.Dense, so checkpoints are unaffected.
 
-    OPT-IN via I360_PALLAS_DENSE=1, and measured NOT worth enabling:
-    the in-model A/B on TPU v5e (tools/measure_step.py, 16-step CFG dual
-    scan) gives 2.99 s/step ON vs 2.97 s/step OFF — XLA's in-context
-    layout choice is not the pathology the standalone probes suggested,
-    so the kernel buys nothing in-model. Default stays nn.Dense; the flag
-    and kernel remain for layout experiments on other configs. Standalone
-    the pallas kernel is ~par with XLA's dot (faster at 640x640, slower
-    at 320x320 where the 2.5-tile lane pad bites). Off-TPU and by default
-    this IS nn.Dense.
+    OPT-IN via KernelConfig.pallas_dense (I360_KERNELS=+pallas_dense),
+    and measured NOT worth enabling: the in-model A/B on TPU v5e
+    (tools/measure_step.py, 16-step CFG dual scan) gives 2.99 s/step ON
+    vs 2.97 s/step OFF — XLA's in-context layout choice is not the
+    pathology the standalone probes suggested, so the kernel buys nothing
+    in-model. Default stays nn.Dense; the switch and kernel remain for
+    layout experiments on other configs. Standalone the pallas kernel is
+    ~par with XLA's dot (faster at 640x640, slower at 320x320 where the
+    2.5-tile lane pad bites). Off-TPU and by default this IS nn.Dense.
     """
 
     @nn.compact
     def __call__(self, inputs):
-        import os
         import numpy as np
         from ..ops.attention import _interpret, _on_tpu
+        from ..ops.dispatch import kernel_config
         from ..parallel.mesh import current_mesh
         from ..ops.pallas_dense import dense_matmul, supported
         n = int(np.prod(inputs.shape[:-1]))
         # mesh-gated like ops/attention.py: an opaque pallas_call would
         # force GSPMD to replicate the sharded activations
-        use = (os.environ.get("I360_PALLAS_DENSE", "0") == "1"
+        use = (kernel_config().pallas_dense
                and _on_tpu() and current_mesh() is None
                and supported(n, inputs.shape[-1], self.features))
         if not use:
@@ -351,16 +353,17 @@ class MMDense(nn.Dense):
 def flat2d(fn, x):
     """Apply a per-token fn on tokens flattened to [N, C].
 
-    DEFAULT-ON (opt out via I360_NO_FLAT_DENSE). Root-caused r4: XLA
-    lowers a [B, S, C] x [C, C'] dot_general inside lax.scan to a
+    DEFAULT-ON (KernelConfig.flat_dense; opt out via
+    I360_KERNELS=-flat_dense). Root-caused r4: XLA lowers a
+    [B, S, C] x [C, C'] dot_general inside lax.scan to a
     batch-in-window CONVOLUTION (window=B, dim_labels=fb0_0oi->0fb) at
     ~48 TF/s with rotated {1,2,0} output layouts — a 3x slowdown vs the
     same dot on [B*S, C], which compiles to a clean matmul (minimal
     repro: a bare scanned jnp.dot at [32, 8192, 320] bf16 reproduces;
     the flattened form does not). Flattening is free (row-major reshape)
     and anchors layout assignment to row-major around every projection."""
-    import os
-    if x.ndim <= 2 or os.environ.get("I360_NO_FLAT_DENSE"):
+    from ..ops.dispatch import kernel_config
+    if x.ndim <= 2 or not kernel_config().flat_dense:
         return fn(x)
     lead = x.shape[:-1]
     y = fn(x.reshape(-1, x.shape[-1]))

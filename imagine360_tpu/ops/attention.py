@@ -39,10 +39,11 @@ def _reference_attention(q, k, v, bias=None, scale=None):
 
 
 def _on_tpu() -> bool:
-    import os
-    if os.environ.get("I360_DISABLE_PALLAS"):
+    from .dispatch import kernel_config
+    cfg = kernel_config()
+    if not cfg.pallas:
         return False
-    if os.environ.get("I360_PALLAS_INTERPRET"):
+    if cfg.interpret:
         return True  # CPU tests drive the kernel paths in interpret mode
     try:
         return jax.devices()[0].platform == "tpu"
@@ -181,8 +182,8 @@ def _single_block_attention(q, k, v, scale=None, interpret=False):
 
 def _interpret() -> bool:
     """Interpret-mode pallas (CPU tests of kernel-dispatch paths)."""
-    import os
-    return bool(os.environ.get("I360_PALLAS_INTERPRET"))
+    from .dispatch import kernel_config
+    return kernel_config().interpret
 
 
 def _packed_impl(q, k, v, bias, scale):
@@ -241,7 +242,8 @@ def _flash_attention_trainable(scale, q, k, v, bias):
     treated as a constant (the WarpAttn correspondence masks are
     precomputed geometry, never trained — reference src/utils/utils.py
     builds them from the camera rig alone): its returned gradient is zeros.
-    Set I360_EINSUM_BWD=1 to fall back to the einsum-reference backward."""
+    KernelConfig.einsum_bwd (I360_KERNELS=+einsum_bwd) selects the
+    einsum-reference backward instead (ops/dispatch.py)."""
     from .pallas_attention import flash_attention
     return flash_attention(q, k, v, bias=bias, scale=scale,
                            interpret=_interpret())
@@ -423,9 +425,9 @@ def temporal_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     B, F, HW, C = q.shape
     D = C // heads
     fscale = float(D ** -0.5 if scale is None else scale)
-    import os
+    from .dispatch import kernel_config
     G = _temporal_group(F, HW)
-    if (_on_tpu() and not os.environ.get("I360_DISABLE_PACKED_ATTN")
+    if (_on_tpu() and kernel_config().packed
             and F * G >= 64 and F * G <= 1024 and C % heads == 0
             and D % 8 == 0):
         return _temporal_kernel_attention(heads, fscale, G, False, q, k, v)
@@ -504,8 +506,7 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4, (q.shape, k.shape)
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
-    import os
-    no_packed = os.environ.get("I360_DISABLE_PACKED_ATTN")
+    from .dispatch import log_route, select_attention_route
     on_tpu = _on_tpu()
     fscale = float(D ** -0.5 if scale is None else scale)
     # Under an active device mesh, pallas_call is an opaque custom call
@@ -524,45 +525,50 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             if out is not None:
                 return out
         on_tpu = False
-    # huge-batch tiny-sequence sites (motion modules): pack batch elements
-    # into 512-token sequences under a block-diagonal bias
-    if (on_tpu and bias is None and Sq <= 64 and Sk <= 64 and B >= 1024
-            and not no_packed and _pack_group(B, Sq, Sk) >= 4):
+    bias_is_broadcast = (bias is not None and bias.ndim == 4
+                         and bias.shape[0] == 1 and bias.shape[1] == 1)
+    route = select_attention_route(B, Sq, Sk, H, D, bias is not None,
+                                   bias_is_broadcast, on_tpu)
+    log_route(route, B, Sq, Sk, H, D, bias is not None)
+    # rationale per route (measured on v5e — STATUS.md):
+    # packed: huge-batch tiny-seq motion sites, 512-token packs under a
+    #   block-diagonal bias; single: whole-seq natural-layout kernel where
+    #   the [Sq, Skp] logits fit VMEM; shared_bias: WarpAttn masks stream
+    #   once per row-chunk instead of per (batch, head); mh_flash:
+    #   natural-layout flash, no boundary transposes -> no layout poison
+    #   on surrounding matmuls (Sk >= 64 so long-query/short-kv pano
+    #   cross-attn sites don't fall to chunked einsum); flash: transposed
+    #   flash for remaining long-kv sites.
+    if route == "packed":
         return _kernel_attention(_packed_impl, fscale, q, k, v, None)
-    # single-block kernel: spatial self-attention <=1024 tokens, text/ip
-    # cross-attention (the [Sq, Skp] logits fit VMEM; no transposes)
-    skp = -(-Sk // 128) * 128
-    if (on_tpu and bias is None and B >= 16 and Sq % 8 == 0
-            and Sq * skp <= _SINGLE_BLOCK_LOGITS and not no_packed):
+    if route == "single":
         return _kernel_attention(_single_impl, fscale, q, k, v, None)
-    # broadcast-bias sites (WarpAttn masks shared by every frame & head):
-    # fold (B, H) so the bias streams once per row-chunk
-    if (on_tpu and bias is not None and bias.ndim == 4
-            and bias.shape[0] == 1 and bias.shape[1] == 1
-            and Sq >= 256 and Sk >= 256 and (B * H) % 8 == 0
-            and not os.environ.get("I360_NO_SHARED_BIAS")):
+    if route == "shared_bias":
         return _shared_attention_trainable(fscale, q, k, v, bias, bias_t)
-    # natural-layout multi-head flash for no-bias long sequences: no
-    # boundary transposes -> no layout poison on the surrounding matmuls.
-    # Sk >= 64 (not 256): long-query/short-kv sites (pano text/ip cross
-    # attention, Sq 8192 x Sk 141) otherwise fall to the chunked-einsum
-    # path, whose layout-flexible XLA dots can request the rotated
-    # S-on-lanes activation layout for the whole surrounding stage
-    if (on_tpu and bias is None and Sq >= 256 and Sk >= 64 and D % 8 == 0
-            and not os.environ.get("I360_NO_MH_FLASH")):
+    if route == "mh_flash":
         try:
             return _mh_attention_trainable(fscale, H, q, k, v)
-        except Exception:
-            pass  # fall through to the transposed flash route
-    # flash kernel for long-kv sequences (never materializes [Sq, Sk])
-    if on_tpu and Sq >= 256 and Sk >= 256:
+        except (ValueError, TypeError, NotImplementedError) as e:
+            # trace-time kernel rejection (shape assert, block-spec error):
+            # visible fallback, not a silent re-route (ADVICE r4)
+            import warnings
+            warnings.warn(
+                f"mh_flash route rejected shape B={B} Sq={Sq} Sk={Sk} "
+                f"H={H} D={D} ({e}); falling back to transposed flash",
+                RuntimeWarning, stacklevel=2)
+            route = "flash"
+    if route in ("flash", "flash_einsum_bwd") and Sq >= 256 and Sk >= 256:
         try:
-            if os.environ.get("I360_EINSUM_BWD"):
+            if route == "flash_einsum_bwd":
                 return _kernel_attention(_flash_impl, fscale, q, k, v, bias)
             return _flash_attention_trainable(fscale, q, k, v, bias)
-        except Exception:
-            pass  # fall back to the XLA path (e.g. odd shapes)
-    # account for TPU tile padding of the trailing [Sq, Sk] logits dims
+        except (ValueError, TypeError, NotImplementedError) as e:
+            import warnings
+            warnings.warn(
+                f"flash route rejected shape B={B} Sq={Sq} Sk={Sk} H={H} "
+                f"D={D} ({e}); falling back to the XLA path",
+                RuntimeWarning, stacklevel=2)
+    # XLA fallbacks (CPU, odd shapes, mh_flash rejection with short kv)
     sq_pad = -(-Sq // 8) * 8
     sk_pad = -(-Sk // 128) * 128
     if B * H * sq_pad * sk_pad * 4 > _LOGITS_BYTES_LIMIT:

@@ -26,16 +26,17 @@ NEG_INF = -1e30
 def _attn_v2() -> bool:
     """Force the transposed-layout kernel everywhere it applies (including
     biased sites). The transposed kernel is the default for long no-bias
-    D<128 sites; biased broadcast sites use the shared-bias kernel."""
-    import os
-    return bool(os.environ.get("I360_ATTN_V2"))
+    D<128 sites; biased broadcast sites use the shared-bias kernel.
+    (KernelConfig.attn_v2 — I360_KERNELS=+attn_v2.)"""
+    from .dispatch import kernel_config
+    return kernel_config().attn_v2
 
 
 def _attn_v1() -> bool:
-    """Escape hatch: force the [S, D]-block v1 kernel for all flash
-    sites."""
-    import os
-    return bool(os.environ.get("I360_ATTN_V1"))
+    """Escape hatch: force the [S, D]-block v1 kernel for all flash sites
+    (KernelConfig.attn_v1)."""
+    from .dispatch import kernel_config
+    return kernel_config().attn_v1
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,

@@ -4,12 +4,14 @@ Why this exists: inside the full dual-UNet program, XLA's TPU layout
 assigner sometimes gives the activations feeding the spatial/motion
 transformer `proj_out` Denses a token-minor layout and then lowers the
 [N, K] @ [K, M] dot as a window=B *correlation* ("convolution fusion" at
-~48 TF/s with ~7x redundant work — see STATUS.md). Reshape-based
-countermeasures (I360_FLAT_DENSE) don't bind because reshapes are
-layout-assigned too. A pallas_call does bind: its operands are required in
-default (row-major) layout, so the layout assigner materializes the
-activation row-major and the matmul runs on the MXU at full tile
-efficiency.
+~48 TF/s with ~7x redundant work — see STATUS.md). The default-on
+flat2d flattening (models/layers.py, KernelConfig.flat_dense) anchors
+most sites row-major; this pallas kernel is the stronger hammer for
+experiments: its operands are REQUIRED in default (row-major) layout, so
+the layout assigner materializes the activation row-major and the matmul
+runs on the MXU at full tile efficiency. Opt in via
+KernelConfig.pallas_dense (I360_KERNELS=+pallas_dense) — measured no-win
+in-model, see models/layers.py:MMDense.
 
 Numerics match nn.Dense on bf16 inputs: the MXU accumulates bf16 x bf16 in
 f32 (preferred_element_type) and the result is cast back to the model

@@ -44,6 +44,17 @@ def main(argv=None):
     ap.add_argument("--v2v-ckpt", default=None,
                     help="VEnhancer ControlledV2VUNet torch ckpt "
                          "(converted via sr/unet_v2v.py:convert_v2v)")
+    ap.add_argument("--prompt", default=None,
+                    help="SR guidance prompt (reference "
+                         "sr/enhance_a_video.py feeds the caption); needs "
+                         "--text-ckpt + --tokenizer-dir")
+    ap.add_argument("--neg-prompt", default="")
+    ap.add_argument("--text-ckpt", default=None,
+                    help="OpenCLIP ViT-H text tower weights (open_clip or "
+                         "FrozenOpenCLIPEmbedder state_dict; reference "
+                         "sr/video_to_video_model.py:36-38)")
+    ap.add_argument("--tokenizer-dir", default=None,
+                    help="HF CLIPTokenizer dir (same BPE as open_clip)")
     ap.add_argument("--vae-path", default=None,
                     help="SD VAE dir or safetensors file")
     ap.add_argument("--tiny", action="store_true",
@@ -88,8 +99,10 @@ def main(argv=None):
             vae_params, convert_vae_state_dict(ckpt.load_state_dict(path)))
         log.info("loaded VAE weights from %s", path)
 
+    text_pos, text_neg = _encode_sr_prompts(args, dtype)
+
     if args.engine == "v2v":
-        refiner = _build_v2v_refiner(args, dtype)
+        refiner = _build_v2v_refiner(args, dtype, text_pos, text_neg)
         cfg = EnhancerConfig(up_scale=args.up_scale, num_steps=args.steps,
                              noise_aug=args.noise_aug,
                              solver_mode=args.solver)
@@ -119,6 +132,7 @@ def main(argv=None):
         log.warning("no refiner checkpoint — zero-init dev mode")
 
     refiner = PanoRefiner(unet, unet_params,
+                          text_pos=text_pos, text_neg=text_neg,
                           cfg=PanoRefinerConfig(
                               guidance_scale=args.guidance, fps=args.fps))
     cfg = EnhancerConfig(up_scale=args.up_scale, num_steps=args.steps,
@@ -129,7 +143,44 @@ def main(argv=None):
     log.info("saved %s %s", args.output, out.shape)
 
 
-def _build_v2v_refiner(args, dtype):
+def _encode_sr_prompts(args, dtype):
+    """(text_pos, text_neg) [77, 1024] prompt embeddings via the OpenCLIP
+    ViT-H text tower (reference FrozenOpenCLIPEmbedder, penultimate layer —
+    sr/video_to_video_model.py:36-38,74,118), or (None, None) when no
+    prompt/encoder is configured (the refiners then run unconditioned, CFG
+    degenerates gracefully)."""
+    if not args.prompt:
+        return None, None
+    if not (args.text_ckpt and os.path.exists(args.text_ckpt)
+            and args.tokenizer_dir and os.path.isdir(args.tokenizer_dir)):
+        log.warning("--prompt given but --text-ckpt/--tokenizer-dir "
+                    "missing; running unconditioned")
+        return None, None
+    import jax.numpy as jnp
+    from transformers import CLIPTokenizer
+    from ..models.clip_text import (CLIPTextConfig, CLIPTextModel,
+                                    convert_openclip_text,
+                                    openclip_tokenize)
+    from ..utils.convert import apply_converted
+    from ..utils import checkpoints as ckpt
+    from .. import cli as main_cli
+
+    enc = CLIPTextModel(CLIPTextConfig(dtype=dtype))
+    params = main_cli._init_params(
+        enc, lambda: enc.init(jax.random.PRNGKey(0),
+                              np.zeros((1, 77), np.int32)), dtype)
+    flat = convert_openclip_text(ckpt.load_state_dict(args.text_ckpt))
+    params, missing, unexpected = apply_converted(params, flat)
+    log.info("text tower: %d missing, %d unexpected",
+             len(missing), len(unexpected))
+    tok = CLIPTokenizer.from_pretrained(args.tokenizer_dir)
+    ids = np.stack([openclip_tokenize(tok, args.neg_prompt),
+                    openclip_tokenize(tok, args.prompt)])
+    emb = jax.jit(enc.apply)(params, jnp.asarray(ids))
+    return emb[1], emb[0]
+
+
+def _build_v2v_refiner(args, dtype, text_pos=None, text_neg=None):
     import jax.numpy as jnp
     from .unet_v2v import (ControlledV2VUNet, V2VConfig, V2VRefiner,
                            convert_v2v, tiny_v2v_config)
@@ -156,7 +207,8 @@ def _build_v2v_refiner(args, dtype):
                  len(missing), len(unexpected), len(unmapped))
     else:
         log.warning("no VEnhancer ckpt — zero-init dev mode")
-    return V2VRefiner(model, params, guidance_scale=args.guidance,
+    return V2VRefiner(model, params, text_pos=text_pos, text_neg=text_neg,
+                      guidance_scale=args.guidance,
                       t_hint=max(0, args.noise_aug - 1),
                       s_cond=float(args.up_scale))
 

@@ -1,4 +1,4 @@
-"""Repro driver for the I360_ATTN_V2 transposed-kernel Mosaic compile
+"""Repro driver for the attn_v2 (I360_KERNELS=+attn_v2) transposed-kernel Mosaic compile
 wedge: compiles the transposed-layout flash kernel (_flash_bhds, sequence
 on lanes) on each full-model flash site shape, one case per process so a
 wedged compile can be timed out and identified.

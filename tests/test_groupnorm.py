@@ -18,20 +18,18 @@ def _ref(p, x, inflated=True):
     return Ref().apply(p, x)
 
 
-def test_fast_group_norm_modes(monkeypatch):
+def test_fast_group_norm_modes():
     from imagine360_tpu.models.layers import GroupNorm
+    from imagine360_tpu.ops.dispatch import configure
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 8, 320),
                           jnp.float32) * 2 + 0.5
     gn = GroupNorm(32, 1e-6, inflated=True)
     p = gn.init(jax.random.PRNGKey(1), x)
-    for env in (None, "I360_GN_MMSTATS", "I360_FLAX_GN"):
-        if env:
-            monkeypatch.setenv(env, "1")
-        y = gn.apply(p, x)
+    for mode in ({}, {"gn_mmstats": True}, {"flax_gn": True}):
+        with configure(**mode):
+            y = gn.apply(p, x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(_ref(p, x)),
-                                   atol=5e-5, err_msg=str(env))
-        if env:
-            monkeypatch.delenv(env)
+                                   atol=5e-5, err_msg=str(mode))
 
 
 def test_fast_group_norm_huge_spatial_regime():

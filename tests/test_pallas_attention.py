@@ -303,9 +303,8 @@ def test_mh_flash_bf16_and_vjp():
     k = _rand((B, Sk, H, D), 7).astype(jnp.bfloat16)
     v = _rand((B, Sk, H, D), 8).astype(jnp.bfloat16)
     scale = float(D ** -0.5)
-    import os
-    os.environ["I360_PALLAS_INTERPRET"] = "1"
-    try:
+    from imagine360_tpu.ops.dispatch import configure
+    with configure(interpret=True):
         out = _mh_attention_trainable(scale, H, q, k, v)
         ref = _reference_attention(q, k, v, scale=scale)
         np.testing.assert_allclose(
@@ -327,5 +326,3 @@ def test_mh_flash_bf16_and_vjp():
             np.testing.assert_allclose(np.asarray(a, np.float32),
                                        np.asarray(b, np.float32),
                                        atol=0.15, rtol=0.1)
-    finally:
-        del os.environ["I360_PALLAS_INTERPRET"]

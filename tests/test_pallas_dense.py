@@ -73,40 +73,42 @@ def test_mmdense_is_dense_off_tpu():
                                   np.asarray(m2.apply(p2, x)))
 
 
-def test_mmdense_enabled_pallas_path(monkeypatch):
-    """ADVICE r2 (medium): with I360_PALLAS_DENSE=1 the pallas path must
+def test_mmdense_enabled_pallas_path():
+    """ADVICE r2 (medium): with pallas_dense enabled the pallas path must
     actually trace (the un-decorated __call__ used to crash with
     'Parameters must be initialized in setup() or @compact') and match
     nn.Dense numerically, with an identical param tree."""
     import flax.linen as nn
     from imagine360_tpu.models.layers import MMDense
+    from imagine360_tpu.ops.dispatch import configure
 
-    monkeypatch.setenv("I360_PALLAS_DENSE", "1")
-    monkeypatch.setenv("I360_PALLAS_INTERPRET", "1")
-    x = jnp.asarray(np.random.RandomState(4).randn(256, 320), jnp.float32)
-    m1 = MMDense(320)
-    m2 = nn.Dense(320)
-    p1 = m1.init(jax.random.PRNGKey(0), x)
-    p2 = m2.init(jax.random.PRNGKey(0), x)
-    assert jax.tree.structure(p1) == jax.tree.structure(p2)
-    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    np.testing.assert_allclose(np.asarray(m1.apply(p1, x)),
-                               np.asarray(m2.apply(p2, x)),
-                               rtol=1e-4, atol=1e-4)
+    with configure(pallas_dense=True, interpret=True):
+        x = jnp.asarray(np.random.RandomState(4).randn(256, 320),
+                        jnp.float32)
+        m1 = MMDense(320)
+        m2 = nn.Dense(320)
+        p1 = m1.init(jax.random.PRNGKey(0), x)
+        p2 = m2.init(jax.random.PRNGKey(0), x)
+        assert jax.tree.structure(p1) == jax.tree.structure(p2)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(m1.apply(p1, x)),
+                                   np.asarray(m2.apply(p2, x)),
+                                   rtol=1e-4, atol=1e-4)
 
 
-def test_mmdense_enabled_unsupported_falls_back(monkeypatch):
+def test_mmdense_enabled_unsupported_falls_back():
     """Token counts the kernel does not support must fall through to the
-    stock Dense path even when the flag is on."""
+    stock Dense path even when the switch is on."""
     import flax.linen as nn
     from imagine360_tpu.models.layers import MMDense
+    from imagine360_tpu.ops.dispatch import configure
 
-    monkeypatch.setenv("I360_PALLAS_DENSE", "1")
-    monkeypatch.setenv("I360_PALLAS_INTERPRET", "1")
-    x = jnp.asarray(np.random.RandomState(5).randn(100, 320), jnp.float32)
-    m1 = MMDense(320)
-    p1 = m1.init(jax.random.PRNGKey(0), x)
-    ref = nn.Dense(320).apply(p1, x)
-    np.testing.assert_array_equal(np.asarray(m1.apply(p1, x)),
-                                  np.asarray(ref))
+    with configure(pallas_dense=True, interpret=True):
+        x = jnp.asarray(np.random.RandomState(5).randn(100, 320),
+                        jnp.float32)
+        m1 = MMDense(320)
+        p1 = m1.init(jax.random.PRNGKey(0), x)
+        ref = nn.Dense(320).apply(p1, x)
+        np.testing.assert_array_equal(np.asarray(m1.apply(p1, x)),
+                                      np.asarray(ref))

@@ -1,7 +1,7 @@
 """Per-shard pallas attention under shard_map (ops/attention.py
 _sharded_batch_kernel): batch-sharding q/k/v over the mesh and re-entering
 the dispatch on local rows must equal global attention exactly. Runs the
-REAL pallas kernels in interpret mode (I360_PALLAS_INTERPRET) on the
+REAL pallas kernels in interpret mode (KernelConfig.interpret) on the
 8-virtual-device CPU mesh from conftest."""
 import jax
 import jax.numpy as jnp
@@ -10,12 +10,14 @@ import pytest
 
 from imagine360_tpu.ops.attention import (_reference_attention,
                                           _sharded_batch_kernel)
+from imagine360_tpu.ops.dispatch import configure
 from imagine360_tpu.parallel.mesh import make_mesh
 
 
 @pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    monkeypatch.setenv("I360_PALLAS_INTERPRET", "1")
+def _interpret_mode():
+    with configure(interpret=True):
+        yield
 
 
 def _rand(shape, seed):
@@ -51,15 +53,14 @@ def test_flash_path_sharded():
     _run(B=8, Sq=256, Sk=256, H=1, D=64)
 
 
-def test_warp_bias_path_sharded(monkeypatch):
+def test_warp_bias_path_sharded():
     """WarpAttn-style site: batch-replicated [1, 1, Sq, Sk] mask bias runs
     per shard through the flash-with-bias kernel (the tuned shared-bias
     kernel is exercised single-device by test_pallas_attention; its
     per-shard composition is identical by batch independence)."""
-    monkeypatch.setenv("I360_NO_SHARED_BIAS", "1")
-    monkeypatch.setenv("I360_EINSUM_BWD", "1")
-    bias = _rand((1, 1, 256, 256), 7) * 3.0
-    _run(B=16, Sq=256, Sk=256, H=1, D=32, bias=bias)
+    with configure(shared_bias=False, einsum_bwd=True):
+        bias = _rand((1, 1, 256, 256), 7) * 3.0
+        _run(B=16, Sq=256, Sk=256, H=1, D=32, bias=bias)
 
 
 def test_shared_bias_kernel_path_sharded():

@@ -1,12 +1,131 @@
-"""Training step + remat tests (micro config, CPU)."""
+"""Training step + remat tests (micro config, CPU).
+
+The dual-model cases below mirror the inference-side evidence
+(tests/test_mesh_parity.py) for training (VERDICT r4 item 8): sharded ==
+single-device train-step parity, deterministic single-batch loss descent,
+and EMA/accumulation semantics under the 2D mesh."""
 import dataclasses
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
-from imagine360_tpu.presets import micro_unet_config
+from imagine360_tpu.presets import micro_dual_config, micro_unet_config
 from imagine360_tpu.models.unet3d import UNet3DConditionModel
+
+
+def _dual_setup(num_views=8, frames=4, lr=None, train_cfg=None):
+    """(model, geoms, batch, params, train_step) at the micro dual config
+    — the same layout dryrun_multichip's training phase compiles."""
+    from imagine360_tpu.geometry import CameraRig
+    from imagine360_tpu.models.dual import DualUNet, warp_sites
+    from imagine360_tpu.pipeline.sampler import build_dual_warp_geoms
+    from imagine360_tpu.training.train import (TrainConfig, make_dual_batch,
+                                               make_train_step)
+
+    cfg = micro_dual_config(num_views=num_views)
+    model = DualUNet(cfg)
+    rig = CameraRig.icosahedron(image_size=16).take(num_views)
+    geoms = build_dual_warp_geoms(cfg, rig, (8, 8), (8, 16))
+    batch = make_dual_batch(jax.random.PRNGKey(0), cfg, frames, (8, 8),
+                            (8, 16), text_len=4, sam_tokens=16, sam_frames=4)
+    pers_in = jnp.concatenate([batch["pers_latents"], batch["pers_mask"],
+                               batch["pers_masked"]], axis=-1)
+    pano_in = jnp.concatenate([batch["pano_latents"], batch["pano_mask"],
+                               batch["pano_masked"]], axis=-1)
+    n_sites = len(warp_sites(len(cfg.pers.block_out_channels)))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "ip_noise": jax.random.PRNGKey(2)},
+        pers_in, pano_in, jnp.zeros((1,)), batch["pers_text"],
+        batch["pano_text"], batch["fps"], batch["ref_feats_pers"],
+        batch["ref_feats_pano"], batch["rel_pos"], batch["pitch"], geoms,
+        jnp.zeros((n_sites,), bool))
+    tc = train_cfg or TrainConfig(lr=lr or 1e-4, antipodal_prob=0.0)
+    train_step, optimizer = make_train_step(model, geoms, train_cfg=tc)
+    return model, geoms, batch, params, train_step, optimizer
+
+
+def test_train_step_sharded_matches_single():
+    """Mirror of test_mesh_parity for TRAINING: one train step under the
+    8-device ('view',) mesh must produce the same loss and updated params
+    as the same step with no mesh active (GSPMD partitions the fwd+bwd;
+    collectives must not change the math)."""
+    from imagine360_tpu.parallel.mesh import activate_mesh, make_mesh
+    from imagine360_tpu.training.train import TrainState
+
+    _, _, batch, params, train_step, optimizer = _dual_setup()
+
+    def run(mesh):
+        state = TrainState(params=params,
+                           opt_state=optimizer.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        with activate_mesh(mesh):
+            step = jax.jit(train_step)
+            state, metrics = step(state, batch, jax.random.PRNGKey(5))
+        return float(metrics["loss"]), state.params
+
+    loss_1, params_1 = run(None)
+    loss_8, params_8 = run(make_mesh(8))
+    assert np.isfinite(loss_1)
+    np.testing.assert_allclose(loss_8, loss_1, rtol=2e-5)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))),
+        params_1, params_8)
+    worst = max(jax.tree.leaves(diffs))
+    assert worst < 5e-6, worst
+
+
+def test_train_loss_decreases():
+    """Deterministic single-batch objective (same rng every step => same
+    timestep/noise draw): 20 optimizer steps must strictly reduce the
+    loss (the training layer learns, not just 'loss is finite')."""
+    from imagine360_tpu.training.train import TrainState
+
+    _, _, batch, params, train_step, optimizer = _dual_setup(lr=2e-3)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    step = jax.jit(train_step)
+    rng = jax.random.PRNGKey(9)
+    losses = []
+    for _ in range(20):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_train_ema_accum_under_mesh():
+    """EMA shadow params + gradient accumulation exercised under the 2D
+    ('replica','view') mesh: the first micro-step of an accumulation pair
+    must not move the weights; after the pair the weights move and the
+    EMA lags them; loss stays finite throughout."""
+    from imagine360_tpu.parallel.mesh import activate_mesh, make_mesh
+    from imagine360_tpu.training.train import TrainConfig, TrainState
+
+    tc = TrainConfig(lr=1e-3, ema_decay=0.9, accum_steps=2,
+                     antipodal_prob=0.0)
+    _, _, batch, params, train_step, optimizer = _dual_setup(train_cfg=tc)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       ema_params=jax.tree.map(jnp.copy, params))
+    probe = lambda p: np.asarray(  # noqa: E731
+        jax.tree.leaves(p)[0], np.float32)
+    w0 = probe(state.params)
+    mesh = make_mesh(8, replicas=2)
+    with activate_mesh(mesh):
+        step = jax.jit(train_step)
+        state, m1 = step(state, batch, jax.random.PRNGKey(3))
+        w1 = probe(state.params)
+        np.testing.assert_array_equal(w1, w0)   # mid-accumulation: no move
+        state, m2 = step(state, batch, jax.random.PRNGKey(4))
+    w2 = probe(state.params)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert np.abs(w2 - w0).max() > 0            # boundary: update applied
+    ema2 = probe(state.ema_params)
+    # EMA lags: closer to the start point than the live weights
+    assert np.abs(ema2 - w0).mean() < np.abs(w2 - w0).mean()
 
 
 def test_remat_grads_match():
