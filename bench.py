@@ -485,9 +485,9 @@ def main():
     }
     # HLO validation of the byte model (VERDICT r4 item 5): compiled
     # collective bytes at the dryrun layout vs the same formula
-    # (scripts/hlo_comm_bytes.py writes outputs/hlo_comm.json)
+    # (scripts/hlo_comm_bytes.py --json docs/hlo_comm.json)
     try:
-        with open(os.path.join(REPO, "outputs", "hlo_comm.json")) as f:
+        with open(os.path.join(REPO, "docs", "hlo_comm.json")) as f:
             v = json.load(f)
         detail["ici_model"]["hlo_validation"] = {
             "ratio_hlo_over_model": round(v["ratio_hlo_over_model"], 3),
