@@ -89,14 +89,13 @@ def _chunked_reference_attention(q, k, v, bias=None, scale=None,
     return out[:B]
 
 
-# don't materialize f32 logits beyond this under any backend
-_LOGITS_BYTES_LIMIT = 128 * 1024 * 1024
-
-# packed tiny-sequence attention: group into sequences of ~this many tokens.
-# Measured on v5e (motion-module shapes): G=32 (512-token packs) beats G=8
-# despite the extra off-diagonal-block softmax work — bigger MXU tiles and
-# fewer, larger head-slice extracts win.
-_PACK_TARGET = 512
+# thresholds shared with the route selector (single source of truth:
+# ops/dispatch.py). _PACK_TARGET: measured on v5e (motion-module shapes):
+# G=32 (512-token packs) beats G=8 despite the extra off-diagonal-block
+# softmax work — bigger MXU tiles and fewer, larger head-slice extracts.
+from .dispatch import (LOGITS_BYTES_LIMIT as _LOGITS_BYTES_LIMIT,
+                       PACK_TARGET as _PACK_TARGET,
+                       SINGLE_BLOCK_LOGITS as _SINGLE_BLOCK_LOGITS)
 
 
 @functools.lru_cache(maxsize=16)
@@ -148,11 +147,6 @@ def _kpad_bias(Sq: int, Sk: int, Skp: int):
     m = np.zeros((Sq, Skp), np.float32)
     m[:, Sk:] = -1e9
     return m[None]
-
-
-# single-block kernel applies when the per-(row, head) [Sq, Skp] f32 logits
-# fit comfortably in VMEM
-_SINGLE_BLOCK_LOGITS = 1024 * 1024
 
 
 def _single_block_attention(q, k, v, scale=None, interpret=False):
