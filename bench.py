@@ -163,7 +163,18 @@ def stage_denoise():
     t_loop = min(
         (lambda t: (_fetch(run(jax.random.PRNGKey(i))), time.time() - t)[1])(
             time.time()) for i in (1, 2))
-    return {"step_s": t_loop / bench_steps,
+    # constant per-call overhead (tunnel RTT, dispatch, the 4-byte fetch):
+    # measured with a trivial executable and subtracted, so step_s tracks
+    # device time instead of day-to-day tunnel latency (the r5 A/B runs
+    # showed ~0.1-0.4 s/call of drift vs the r3 tunnel). Same semantics as
+    # tools/measure_step.py's two-length slope, at one compile.
+    null = jax.jit(lambda x: x + 1.0)
+    _fetch(null(jnp.float32(0)))         # compile the null executable
+    t_null = min(
+        (lambda t: (_fetch(null(jnp.float32(i))), time.time() - t)[1])(
+            time.time()) for i in range(3))
+    return {"step_s": max(0.0, t_loop - t_null) / bench_steps,
+            "raw_loop_s": t_loop, "call_overhead_s": t_null,
             "compile_s": compile_s,
             "device": str(jax.devices()[0])}
 

@@ -353,15 +353,16 @@ class MMDense(nn.Dense):
 def flat2d(fn, x):
     """Apply a per-token fn on tokens flattened to [N, C].
 
-    DEFAULT-ON (KernelConfig.flat_dense; opt out via
-    I360_KERNELS=-flat_dense). Root-caused r4: XLA lowers a
-    [B, S, C] x [C, C'] dot_general inside lax.scan to a
-    batch-in-window CONVOLUTION (window=B, dim_labels=fb0_0oi->0fb) at
-    ~48 TF/s with rotated {1,2,0} output layouts — a 3x slowdown vs the
-    same dot on [B*S, C], which compiles to a clean matmul (minimal
-    repro: a bare scanned jnp.dot at [32, 8192, 320] bf16 reproduces;
-    the flattened form does not). Flattening is free (row-major reshape)
-    and anchors layout assignment to row-major around every projection."""
+    DEFAULT OFF (KernelConfig.flat_dense; opt in via
+    I360_KERNELS=+flat_dense). History: r4 root-caused XLA lowering a
+    [B, S, C] x [C, C'] dot_general inside lax.scan to a batch-in-window
+    CONVOLUTION (window=B, dim_labels=fb0_0oi->0fb) at ~48 TF/s with
+    rotated {1,2,0} output layouts — a 3x slowdown vs the same dot on
+    [B*S, C] in a minimal repro. But the r5 full-model A/B (STATUS.md
+    table) measured the flattening SLOWER in-model (3.50 vs 3.09 s/step
+    with mh_flash+conv1x1 on): anchoring every projection row-major
+    forces layout churn elsewhere that costs more than the few poisoned
+    dots it repairs. Kept as an experiment switch."""
     from ..ops.dispatch import kernel_config
     if x.ndim <= 2 or not kernel_config().flat_dense:
         return fn(x)

@@ -49,9 +49,13 @@ class KernelConfig:
     # kernel-variant forcing inside pallas_attention (perf experiments)
     attn_v1: bool = False
     attn_v2: bool = False
-    # flatten [B, S, C] to [N, C] around every Dense (layers.flat2d)
-    flat_dense: bool = True
+    # flatten [B, S, C] to [N, C] around every Dense (layers.flat2d).
+    # DEFAULT OFF: measured SLOWER in the full model (r5 A/B table in
+    # STATUS.md — 3.09 s/step off vs 3.50 on, with mh_flash+conv1x1; its
+    # stage-0 micro-win does not compose)
+    flat_dense: bool = False
     # lower 1x1 InflatedConv as a flattened matmul instead of a conv
+    # (with mh_flash: 3.09 vs 3.30 s/step — r5 config E vs D)
     conv1x1_matmul: bool = True
     # MMDense pallas matmul (measured no-win in-model; kept for experiments)
     pallas_dense: bool = False

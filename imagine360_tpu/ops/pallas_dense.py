@@ -4,10 +4,11 @@ Why this exists: inside the full dual-UNet program, XLA's TPU layout
 assigner sometimes gives the activations feeding the spatial/motion
 transformer `proj_out` Denses a token-minor layout and then lowers the
 [N, K] @ [K, M] dot as a window=B *correlation* ("convolution fusion" at
-~48 TF/s with ~7x redundant work — see STATUS.md). The default-on
-flat2d flattening (models/layers.py, KernelConfig.flat_dense) anchors
-most sites row-major; this pallas kernel is the stronger hammer for
-experiments: its operands are REQUIRED in default (row-major) layout, so
+~48 TF/s with ~7x redundant work — see STATUS.md). The flat2d
+flattening (models/layers.py, KernelConfig.flat_dense — default OFF,
+measured slower in-model) anchors sites row-major; this pallas kernel is
+the stronger hammer for experiments: its operands are REQUIRED in
+default (row-major) layout, so
 the layout assigner materializes the activation row-major and the matmul
 runs on the MXU at full tile efficiency. Opt in via
 KernelConfig.pallas_dense (I360_KERNELS=+pallas_dense) — measured no-win
