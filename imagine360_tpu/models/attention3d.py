@@ -64,13 +64,13 @@ class Transformer3DModel(nn.Module):
         h = GroupNorm(32, 1e-6, inflated=True, dtype=self.dtype,
                       name="norm")(x)
         h = h.reshape(B * F, H * W, C)
-        from .layers import MMDense, flat2d
-        h = flat2d(MMDense(inner, dtype=self.dtype, name="proj_in"), h)
+        from .layers import MMDense, flat2d_proj
+        h = flat2d_proj(MMDense(inner, dtype=self.dtype, name="proj_in"), h)
         ctx = jnp.repeat(context, F, axis=0)  # [B*F, L, C]
         for i in range(self.num_layers):
             h = SpatialTransformerBlock(
                 inner, self.heads, self.dim_head, use_ip=self.use_ip,
                 ip_scale=self.ip_scale, num_ip_tokens=self.num_ip_tokens,
                 dtype=self.dtype, name=f"transformer_blocks_{i}")(h, ctx)
-        h = flat2d(MMDense(C, dtype=self.dtype, name="proj_out"), h)
+        h = flat2d_proj(MMDense(C, dtype=self.dtype, name="proj_out"), h)
         return h.reshape(B, F, H, W, C) + residual

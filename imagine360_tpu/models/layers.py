@@ -371,6 +371,26 @@ def flat2d(fn, x):
     return y.reshape(*lead, y.shape[-1])
 
 
+def flat2d_proj(fn, x):
+    """flat2d for the transformer/motion proj_in/proj_out sites ONLY
+    (KernelConfig.flat_proj, default OFF). The r5 per-HLO profile shows
+    exactly these dots lowering as ~48 TF/s batch-in-window convolutions
+    with rotated layouts when left [B, S, C] (down_blocks_0/up_blocks_3
+    attentions/motion proj sites, ~21 ms/step each) — yet the full-model
+    A/B measured even this scoped anchoring net-SLOWER (3.376 vs 3.093
+    s/step, STATUS.md): the row-major anchor's layout transitions cost
+    more than the slow dots they repair. Kept as an experiment switch;
+    the poisoned-dot accounting is documented so future XLA versions can
+    be re-probed cheaply."""
+    from ..ops.dispatch import kernel_config
+    cfg = kernel_config()
+    if x.ndim <= 2 or not (cfg.flat_proj or cfg.flat_dense):
+        return fn(x)
+    lead = x.shape[:-1]
+    y = fn(x.reshape(-1, x.shape[-1]))
+    return y.reshape(*lead, y.shape[-1])
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward (diffusers FeedForward, activation_fn='geglu'):
     net_0.proj: Dense(dim -> 2*inner); out = x*gelu(gate); net_2: Dense(->dim).

@@ -99,12 +99,12 @@ class MotionModule(nn.Module):
         h = GroupNorm(32, 1e-6, inflated=True, dtype=self.dtype,
                       name="norm")(x)
         h = h.reshape(B, F, H * W, C)
-        from .layers import MMDense, flat2d
-        h = flat2d(MMDense(C, dtype=self.dtype, name="proj_in"), h)
+        from .layers import MMDense, flat2d_proj
+        h = flat2d_proj(MMDense(C, dtype=self.dtype, name="proj_in"), h)
         for i in range(self.num_layers):
             h = TemporalTransformerBlock(C, self.heads, self.max_len,
                                          dtype=self.dtype,
                                          name=f"transformer_blocks_{i}")(h)
-        h = flat2d(MMDense(C, kernel_init=nn.initializers.zeros,
+        h = flat2d_proj(MMDense(C, kernel_init=nn.initializers.zeros,
                            dtype=self.dtype, name="proj_out"), h)
         return h.reshape(B, F, H, W, C) + residual

@@ -54,6 +54,15 @@ class KernelConfig:
     # STATUS.md — 3.09 s/step off vs 3.50 on, with mh_flash+conv1x1; its
     # stage-0 micro-win does not compose)
     flat_dense: bool = False
+    # flatten ONLY the transformer/motion proj_in/proj_out sites
+    # (layers.flat2d_proj). The r5 per-HLO profile shows exactly these
+    # lower as 48 TF/s batch-in-window convolutions when unflattened
+    # (~210 ms/step at stage 0) — but the full-model A/B measured even
+    # this SCOPED anchoring slower (config F 3.376 vs E 3.093 s/step):
+    # the row-major anchor forces layout transitions around the sites
+    # that cost more than the slow dots it repairs. The 48 TF/s
+    # equilibrium is the cheaper one. DEFAULT OFF; kept for experiments.
+    flat_proj: bool = False
     # lower 1x1 InflatedConv as a flattened matmul instead of a conv
     # (with mh_flash: 3.09 vs 3.30 s/step — r5 config E vs D)
     conv1x1_matmul: bool = True

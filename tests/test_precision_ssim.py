@@ -8,7 +8,8 @@ implementation through the exact production compute path (both sides
 bf16, identical random-inflated weights, pinned noise/randomness —
 reference quirks per inference_dual_p2e.py:376-379, pipeline:311-312).
 
-Full-geometry numbers (512x1024, prod channels) are recorded in STATUS.md;
+The production-geometry trend line (512x1024, prod channels, 16 frames,
+20 views) is recorded in docs/PARITY.md ("Precision SSIM trend line");
 this runs the SAME harness at tiny channels / small pano so CI catches a
 precision-policy or parity regression in minutes instead of hours.
 """
