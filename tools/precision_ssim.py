@@ -60,6 +60,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# persistent compile cache: the production-geometry VAE-decode graph alone
+# costs >2 h of XLA CPU compile on this 1-core host — cache it so repeat
+# runs (other step counts, regression re-runs) skip straight to execution
+from imagine360_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 # production UNet kwargs: SD2.1 geometry (from_pretrained_2d's config json)
 # + configs/prompt-dual.yaml unet_additional_kwargs
 PROD_TORCH_KWARGS = dict(
