@@ -41,7 +41,12 @@ def test_precision_ssim_tiny():
               prod_channels=False, chunk_rows=64, log=lambda *a: None)
     # both sides bf16 with identical weights: anything below this means a
     # real divergence (wrong op order, precision policy change, geometry
-    # drift), not rounding noise. Full-geometry runs score higher (more
-    # signal averaging); see STATUS.md for the production trend line.
+    # drift), not rounding noise. The relation to the >0.98 north-star
+    # bar is MEASURED, not asserted: at the production geometry
+    # (512x1024, prod channels, 16f, 20 views) the same harness scores
+    # SSIM 0.99938 / PSNR 47.7 (docs/ssim_prod_s1.json, r5) — the tiny
+    # gate underestimates the production score because small frames give
+    # the SSIM windows less signal per unit bf16 noise. 0.97 here is the
+    # tiny geometry's own measured margin (0.9788 green baseline).
     assert res["ssim_mean"] > 0.97, res
     assert res["psnr_mean"] > 25.0, res
