@@ -42,11 +42,11 @@ def test_precision_ssim_tiny():
     # both sides bf16 with identical weights: anything below this means a
     # real divergence (wrong op order, precision policy change, geometry
     # drift), not rounding noise. The relation to the >0.98 north-star
-    # bar is MEASURED, not asserted: at the production geometry
-    # (512x1024, prod channels, 16f, 20 views) the same harness scores
-    # SSIM 0.99938 / PSNR 47.7 (docs/ssim_prod_s1.json, r5) — the tiny
-    # gate underestimates the production score because small frames give
-    # the SSIM windows less signal per unit bf16 noise. 0.97 here is the
-    # tiny geometry's own measured margin (0.9788 green baseline).
+    # bar is MEASURED, not asserted (r5, docs/PARITY.md trend line): at
+    # steps=1 the production geometry scores 0.99938 and this tiny
+    # geometry 0.99950 — per-step fidelity is scale-independent rounding
+    # noise; this 2-step gate scores lower (0.9788 baseline) only because
+    # per-step noise compounds through the denoiser, which makes it the
+    # MORE sensitive regression detector. 0.97 is its measured margin.
     assert res["ssim_mean"] > 0.97, res
     assert res["psnr_mean"] > 25.0, res
